@@ -1,0 +1,70 @@
+"""Benchmark: gesture-synthesis throughput per chip on the flagship model.
+
+Runs the TED Expressive 6-level hierarchy (reference capacity: hidden 300,
+4-layer bi-GRU cells, SE-ResNet audio encoder) through the sliding-window
+synthesis engine on a batch of independent clips, and reports generated pose
+frames per second per chip.
+
+Baseline anchor (BASELINE.md): the reference never reports synthesis
+throughput; the driver's north-star target is >=10x realtime per chip =
+150 frames/s at 15 fps output.  vs_baseline = value / 150.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from __graft_entry__ import _make_system
+    from ha2g_tpu.data.vocab import Vocab
+    from ha2g_tpu.synthesis import HierarchySynthesizer
+
+    n_words, n_speakers = 64, 8
+    system, cfg = _make_system("ted_expressive", hidden=300, n_layers=4,
+                               n_words=n_words, n_speakers=n_speakers)
+
+    # vocab for the text front-end
+    lang = Vocab("words")
+    for i in range(n_words - lang.n_words):
+        lang.index_word(f"w{i}")
+
+    rng = np.random.default_rng(0)
+    B = 256                      # independent clips synthesized together
+    clip_seconds = 20.0
+    sr = 16000
+    audio = rng.normal(size=(B, int(clip_seconds * sr))).astype(np.float32) * 0.1
+    words = [[(f"w{rng.integers(0, 40)}", float(t), float(t + 0.3))
+              for t in np.arange(0.3, clip_seconds - 0.5, 0.45)]
+             for _ in range(B)]
+    vids = rng.integers(0, n_speakers, (B,)).astype(np.int32)
+
+    # init flagship params
+    from __graft_entry__ import _batch
+    state = system.init(jax.random.PRNGKey(0), _batch(cfg, 2))
+    synth = HierarchySynthesizer(system, state)
+
+    # warmup (compile; same shapes as the timed run)
+    out = synth.generate(audio, words, lang, vids)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    out = synth.generate(audio, words, lang, vids)
+    elapsed = time.perf_counter() - t0
+
+    total_frames = out.shape[0] * out.shape[1]
+    fps_per_chip = total_frames / elapsed / max(1, 1)  # single chip
+    print(json.dumps({
+        "metric": "expressive_hierarchy_synthesis_throughput",
+        "value": round(fps_per_chip, 1),
+        "unit": "pose frames/s/chip",
+        "vs_baseline": round(fps_per_chip / 150.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Word / speaker vocabulary.
+
+Rebuild of scripts/model/vocab.py + scripts/utils/vocab_utils.py: a Vocab
+with PAD/SOS/EOS/UNK specials, an optional pretrained embedding table, and
+the same class reused (without specials) as the speaker model
+(lmdb_data_loader.py:181-199).  Serialization is explicit JSON+npy instead of
+pickled objects inside checkpoints (SURVEY.md section 7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+PAD_TOKEN = 0
+SOS_TOKEN = 1
+EOS_TOKEN = 2
+UNK_TOKEN = 3
+
+
+def normalize_string(s: str) -> str:
+    """lowercase, trim, and remove non-letter characters
+    (reference data_utils.py:18-25)."""
+    s = s.lower().strip()
+    s = re.sub(r"([,.!?])", r" \1 ", s)
+    s = re.sub(r"(['])", r"", s)
+    s = re.sub(r"[^a-zA-Z,.!?]+", r" ", s)
+    s = re.sub(r"\s+", r" ", s).strip()
+    return s
+
+
+def remove_tags_marks(text: str) -> str:
+    return re.sub(re.compile("<.*?>|[.,:;!?]+"), "", text)
+
+
+class Vocab:
+    """Word <-> index mapping (reference vocab.py:8-67)."""
+
+    PAD_token = PAD_TOKEN
+    SOS_token = SOS_TOKEN
+    EOS_token = EOS_TOKEN
+    UNK_token = UNK_TOKEN
+
+    def __init__(self, name: str, insert_default_tokens: bool = True):
+        self.name = name
+        self.insert_default_tokens = insert_default_tokens
+        self.trimmed = False
+        self.word_embedding_weights: Optional[np.ndarray] = None
+        self.reset_dictionary()
+
+    def reset_dictionary(self):
+        self.word2index: dict[str, int] = {}
+        self.word2count: dict[str, int] = {}
+        if self.insert_default_tokens:
+            self.index2word = {self.PAD_token: "<PAD>", self.SOS_token: "<SOS>",
+                               self.EOS_token: "<EOS>", self.UNK_token: "<UNK>"}
+        else:
+            self.index2word = {self.UNK_token: "<UNK>"}
+        self.n_words = len(self.index2word)
+
+    def index_word(self, word: str):
+        if word not in self.word2index:
+            self.word2index[word] = self.n_words
+            self.word2count[word] = 1
+            self.index2word[self.n_words] = word
+            self.n_words += 1
+        else:
+            self.word2count[word] += 1
+
+    def index_words_from_list(self, words):
+        for w in words:
+            self.index_word(w)
+
+    def get_word_index(self, word: str) -> int:
+        return self.word2index.get(word, self.UNK_token)
+
+    # ---- embedding table -------------------------------------------------
+    def load_word_vectors_npy(self, path: str | Path, embed_dim: int = 300):
+        """Load a (n_words, dim) table aligned to this vocab from .npy
+        (the fastText .bin loader of the reference, vocab.py:70-84, requires
+        the fasttext binary dep; convert offline to npy + json)."""
+        self.word_embedding_weights = np.load(path).astype(np.float32)
+        assert self.word_embedding_weights.shape == (self.n_words, embed_dim)
+
+    def random_word_vectors(self, embed_dim: int = 300, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.word_embedding_weights = rng.normal(
+            size=(self.n_words, embed_dim)).astype(np.float32)
+
+    # ---- serialization -----------------------------------------------------
+    def to_dict(self) -> dict:
+        return {"name": self.name,
+                "insert_default_tokens": self.insert_default_tokens,
+                "index2word": {str(k): v for k, v in self.index2word.items()}}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Vocab":
+        v = cls(d["name"], d["insert_default_tokens"])
+        items = sorted(((int(k), w) for k, w in d["index2word"].items()))
+        for idx, word in items:
+            if idx >= v.n_words:
+                v.word2index[word] = idx
+                v.index2word[idx] = word
+                v.word2count[word] = 1
+                v.n_words = idx + 1
+        return v
+
+    def save(self, path: str | Path):
+        Path(path).write_text(json.dumps(self.to_dict()))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "Vocab":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+
+def build_vocab(name: str, clip_sets, insert_default_tokens: bool = True) -> Vocab:
+    """Scan word lists of all clip sets (reference vocab_utils.py:11-35)."""
+    vocab = Vocab(name, insert_default_tokens)
+    for clips in clip_sets:
+        for clip in clips:
+            for word, _, _ in clip["words"]:
+                vocab.index_word(word)
+    return vocab

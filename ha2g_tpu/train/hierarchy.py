@@ -87,6 +87,11 @@ class HierarchySystem:
 
     # ------------------------------------------------------------------
     def init(self, rng, batch) -> HierarchyState:
+        """Jitted so module initialization compiles into one XLA program
+        instead of dispatching thousands of eager init ops."""
+        return jax.jit(self._init)(rng, batch)
+
+    def _init(self, rng, batch) -> HierarchyState:
         spec = self.spec
         cfg = self.cfg
         ks = jax.random.split(rng, 8)

@@ -1,0 +1,77 @@
+"""Data pipeline tests: synthetic clips -> windowing -> fixed-shape batches,
+sharded over the fake 8-device mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from ha2g_tpu.data import (BatchLoader, Vocab, build_vocab,
+                           default_mean_dir_vec, synthetic_clips,
+                           window_clips)
+from ha2g_tpu.parallel import batch_sharding, data_mesh
+from ha2g_tpu.skeleton import TED_EXPRESSIVE, TED_GESTURE
+
+
+@pytest.fixture(scope="module")
+def gesture_samples():
+    spec = TED_GESTURE
+    clips = synthetic_clips(spec, n_clips=6, clip_seconds=8.0, n_speakers=3)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    mean_vec = default_mean_dir_vec(spec)
+    mean_pose = np.zeros((spec.n_joints * 3,), np.float32)
+    samples = window_clips(clips, spec, lang, speaker, mean_pose, mean_vec)
+    return spec, lang, speaker, samples
+
+
+def test_window_shapes(gesture_samples):
+    spec, lang, speaker, s = gesture_samples
+    n = len(s)
+    assert n > 10
+    assert s.text.shape == (n, 34)
+    assert s.target.shape == (n, 34, 27)
+    assert s.pose.shape == (n, 34, 30)
+    assert s.audio.shape == (n, 36267)
+    assert s.spec.shape == (n, 128, 70)
+    assert s.vids.max() < speaker.n_words
+    # targets are unit dir vecs minus mean: adding the mean back must give
+    # unit vectors
+    mean_vec = default_mean_dir_vec(spec)
+    raw = s.target[0] + mean_vec[None, :]
+    norms = np.linalg.norm(raw.reshape(34, 9, 3), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_expressive_windowing():
+    spec = TED_EXPRESSIVE
+    clips = synthetic_clips(spec, n_clips=2, clip_seconds=6.0)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    samples = window_clips(clips, spec, lang, speaker,
+                           np.zeros(spec.n_joints * 3, np.float32),
+                           default_mean_dir_vec(spec), static_joints=(6, 7))
+    assert samples.target.shape[2] == 126
+
+
+def test_batch_loader_sharded(gesture_samples):
+    spec, lang, speaker, s = gesture_samples
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+    loader = BatchLoader(s, batch_size=16, sharding=batch_sharding(mesh))
+    batch = next(iter(loader))
+    assert batch["target"].shape == (16, 34, 27)
+    assert batch["target"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_vocab_roundtrip(tmp_path, gesture_samples):
+    _, lang, _, _ = gesture_samples
+    p = tmp_path / "vocab.json"
+    lang.save(p)
+    lang2 = Vocab.load(p)
+    assert lang2.n_words == lang.n_words
+    assert lang2.get_word_index("the") == lang.get_word_index("the")
+    assert lang2.get_word_index("zzz_unknown") == Vocab.UNK_token
