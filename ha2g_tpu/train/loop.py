@@ -1,0 +1,231 @@
+"""Epoch-level training driver.
+
+Rebuild of the reference drivers' train_epochs / evaluate_testset
+(train.py:91-324, 326-508; train_expressive.py likewise), parameterized by
+model family:
+
+* eval-first each epoch, per-key best tracking with FGD as the
+  model-selection metric when an evaluator is present (train.py:190-193)
+* checkpoint best + every 10 epochs (train.py:227-243), including optimizer
+  state (resume superset)
+* GAN warm-up gating re-jits the step once when epoch crosses loss_warmup
+* batches sharded over the data mesh; state replicated
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+
+from ha2g_tpu.checkpoint import save_checkpoint
+from ha2g_tpu.config import Config
+from ha2g_tpu.data.loader import BatchLoader
+from ha2g_tpu.data.vocab import Vocab
+from ha2g_tpu.eval.fgd import EmbeddingSpaceEvaluator
+from ha2g_tpu.eval.metrics import beat_consistency, maje_and_accel
+from ha2g_tpu.parallel.mesh import batch_sharding, data_mesh, replicate
+from ha2g_tpu.utils.average_meter import AverageMeter
+
+
+def build_system(cfg: Config, n_words: int, n_speakers: int,
+                 word_embeddings=None):
+    """Dispatch like reference init_model (train.py:50-88)."""
+    if cfg.model == "hierarchy":
+        from ha2g_tpu.train.hierarchy import HierarchySystem
+        return HierarchySystem(cfg, n_words, n_speakers, word_embeddings)
+    if cfg.model == "multimodal_context":
+        from ha2g_tpu.train.baselines import MultimodalGanSystem
+        return MultimodalGanSystem(cfg, n_words, n_speakers, word_embeddings)
+    if cfg.model in ("joint_embedding", "gesture_autoencoder"):
+        from ha2g_tpu.train.baselines import EmbedSystem, MotionAESystem
+        if cfg.model == "gesture_autoencoder" and cfg.pose_dim == 126:
+            # TED Expressive FGD embedder (train_feature_extractor_expressive)
+            return MotionAESystem(cfg)
+        return EmbedSystem(cfg, n_words, word_embeddings)
+    if cfg.model == "seq2seq":
+        from ha2g_tpu.train.baselines import Seq2SeqSystem
+        return Seq2SeqSystem(cfg, n_words, word_embeddings)
+    if cfg.model == "speech2gesture":
+        from ha2g_tpu.train.baselines import S2GSystem
+        return S2GSystem(cfg)
+    raise ValueError(f"unknown model {cfg.model}")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_samples, val_samples, lang: Vocab,
+                 speaker: Vocab, evaluator: Optional[EmbeddingSpaceEvaluator]
+                 = None, use_mesh: bool = True,
+                 beat_consistency_score: bool = False):
+        self.cfg = cfg
+        self.lang = lang
+        self.speaker = speaker
+        self.evaluator = evaluator
+        self.bc_enabled = beat_consistency_score
+        self.system = build_system(
+            cfg, lang.n_words, max(speaker.n_words, 1),
+            lang.word_embedding_weights)
+        self.mesh = data_mesh(cfg.dp_devices) if use_mesh else None
+        sharding = batch_sharding(self.mesh) if self.mesh else None
+        self.train_loader = BatchLoader(train_samples, cfg.batch_size,
+                                        shuffle=True, sharding=sharding)
+        self.val_loader = BatchLoader(val_samples, cfg.batch_size,
+                                      shuffle=False, drop_last=False,
+                                      sharding=None)
+        self.rng = jax.random.PRNGKey(max(cfg.random_seed, 0))
+        self.best_values: dict[str, tuple[float, int]] = {}
+        self._steps: dict = {}
+
+    # ------------------------------------------------------------------
+    def _train_step(self, epoch: int):
+        cfg = self.cfg
+        if cfg.model in ("hierarchy", "multimodal_context"):
+            gan_on = epoch > cfg.loss_warmup
+            key = ("gan", gan_on)
+            if key not in self._steps:
+                self._steps[key] = self.system.make_train_step(gan_on=gan_on)
+            return self._steps[key]
+        if "plain" not in self._steps:
+            self._steps["plain"] = self.system.make_train_step()
+        return self._steps["plain"]
+
+    def _eval_step(self):
+        if "eval" not in self._steps:
+            self._steps["eval"] = self.system.make_eval_step()
+        return self._steps["eval"]
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        batch = next(iter(self.train_loader))
+        state = self.system.init(self.rng, batch)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicate(self.mesh))
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state, epoch: int = 0) -> dict:
+        """evaluate_testset equivalent (train.py:326-508)."""
+        cfg = self.cfg
+        meters = {k: AverageMeter(k) for k in ("loss", "joint_mae", "accel",
+                                               "bc")}
+        if self.evaluator:
+            self.evaluator.reset()
+        eval_step = self._eval_step()
+        mean_vec = cfg.mean_dir_vec_array
+        rng = np.random.default_rng(epoch)
+        t0 = time.time()
+        for i, batch in enumerate(self.val_loader):
+            b = dict(batch)
+            if cfg.z_type == "speaker" and self.speaker.n_words > 0:
+                # random speaker ids at eval (train.py:366)
+                b["vids"] = rng.integers(0, self.speaker.n_words,
+                                         b["vids"].shape).astype(np.int32)
+            out, loss = eval_step(state, b,
+                                  jax.random.fold_in(self.rng, 10_000 + i))
+            B = b["target"].shape[0]
+            meters["loss"].update(float(loss), B)
+            if cfg.model != "gesture_autoencoder":
+                out_np = np.asarray(out)
+                tgt_np = np.asarray(b["target"])
+                if self.evaluator:
+                    self.evaluator.push_samples(out_np, tgt_np)
+                mae, acc = maje_and_accel(out_np, tgt_np, mean_vec,
+                                          cfg.skeleton, cfg.n_pre_poses)
+                meters["joint_mae"].update(mae, B)
+                meters["accel"].update(acc, B)
+                if self.bc_enabled:
+                    bc, n = beat_consistency(
+                        out_np, np.asarray(b["audio"]), mean_vec,
+                        cfg.skeleton, cfg.motion_resampling_framerate)
+                    if n:
+                        meters["bc"].update(bc, n)
+
+        ret = {"loss": meters["loss"].avg, "joint_mae": meters["joint_mae"].avg,
+               "accel": meters["accel"].avg}
+        if self.bc_enabled:
+            ret["BC"] = meters["bc"].avg
+        if self.evaluator and self.evaluator.get_no_of_samples() > 0:
+            frechet, feat_dist = self.evaluator.get_scores()
+            ret["frechet"] = frechet
+            ret["feat_dist"] = feat_dist
+            ret["diversity"] = self.evaluator.get_diversity_scores()
+        logging.info("[VAL] " + ", ".join(f"{k}: {v:.4f}"
+                                          for k, v in ret.items()) +
+                     f" / {time.time() - t0:.1f}s")
+        return ret
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None, save_path: Optional[str]
+            = None, eval_every: int = 1, log_every: int = 0):
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        save_path = Path(save_path or cfg.model_save_path)
+        state = self.init_state()
+        history = []
+        global_iter = 0
+        for epoch in range(epochs):
+            # eval first (train.py:190)
+            if epoch % eval_every == 0:
+                val = self.evaluate(state, epoch)
+                history.append(val)
+                self._track_best(val, epoch, state, save_path)
+            if epoch % 10 == 0 and epoch > 0:
+                save_checkpoint(save_path / f"checkpoint_{epoch:03d}", state,
+                                cfg, self.lang, self.speaker)
+
+            step_fn = self._train_step(epoch)
+            meters: dict[str, AverageMeter] = {}
+            t0, n_samples = time.time(), 0
+            for batch in self.train_loader:
+                rng = jax.random.fold_in(self.rng, global_iter)
+                if cfg.model == "gesture_autoencoder" and \
+                        cfg.pose_dim == 126:
+                    state, metrics = step_fn(state, batch, rng,
+                                             self.system.lr_for_epoch(epoch))
+                else:
+                    state, metrics = step_fn(state, batch, rng)
+                global_iter += 1
+                n_samples += cfg.batch_size
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter(k)).update(float(v))
+                if log_every and global_iter % log_every == 0:
+                    sps = n_samples / max(time.time() - t0, 1e-6)
+                    logging.info(
+                        f"ep {epoch} it {global_iter}: " +
+                        ", ".join(f"{k}: {m.avg:.4f}"
+                                  for k, m in meters.items()) +
+                        f", {sps:.1f} samples/s")
+            logging.info(
+                f"[TRAIN] epoch {epoch}: " +
+                ", ".join(f"{k}: {m.avg:.4f}" for k, m in meters.items()) +
+                f" ({n_samples / max(time.time() - t0, 1e-6):.1f} samples/s)")
+
+        val = self.evaluate(state, epochs)
+        history.append(val)
+        self._track_best(val, epochs, state, save_path)
+        save_checkpoint(save_path / "checkpoint_final", state, cfg,
+                        self.lang, self.speaker)
+        return state, history
+
+    # ------------------------------------------------------------------
+    def _track_best(self, val: dict, epoch: int, state, save_path: Path):
+        """Per-key best tracking; FGD (or loss) selects the best checkpoint
+        (train.py:174-243)."""
+        select_key = "frechet" if "frechet" in val else "loss"
+        for k, v in val.items():
+            if k not in self.best_values:
+                better = True
+            else:
+                prev = self.best_values[k][0]
+                better = v > prev if k == "diversity" else v < prev
+            if better:
+                self.best_values[k] = (v, epoch)
+                if k == select_key:
+                    save_checkpoint(save_path / "checkpoint_best", state,
+                                    self.cfg, self.lang, self.speaker,
+                                    extra={"epoch": epoch, "val": val})
+                    logging.info(f"  [BEST] {k} = {v:.4f} @ epoch {epoch}")
