@@ -204,3 +204,29 @@ class EmbeddingNet(nn.Module):
 
         return (context_feat, context_mu, context_logvar,
                 poses_feat, pose_mu, pose_logvar, out_poses)
+
+
+class PoseDecoderFC(nn.Module):
+    """Pure-FC pose decoder (embedding_net.py:85-127).  Present for API
+    parity — the shipped configs use the GRU/Conv decoders."""
+
+    pose_dim: int
+    gen_length: int
+    use_pre_poses: bool = False
+
+    @nn.compact
+    def __call__(self, latent_code, pre_poses=None, train: bool = False):
+        feat = latent_code
+        if self.use_pre_poses:
+            pre = pre_poses.reshape(pre_poses.shape[0], -1)
+            pre = Dense(32)(pre)
+            pre = BatchNorm(use_running_average=not train)(pre)
+            pre = jax.nn.relu(pre)
+            pre = Dense(32)(pre)
+            feat = jnp.concatenate([pre, feat], axis=1)
+        for width in (128, 128, 256, 512):
+            feat = Dense(width)(feat)
+            feat = BatchNorm(use_running_average=not train)(feat)
+            feat = jax.nn.relu(feat)
+        out = Dense(self.gen_length * self.pose_dim)(feat)
+        return out.reshape(-1, self.gen_length, self.pose_dim)

@@ -159,3 +159,33 @@ class ConvDiscriminator(nn.Module):
         out = Dense(1)(out)[..., 0]       # (B, T-6)
         out = Dense(1)(out)               # Linear(28, 1) for 34 frames
         return jax.nn.sigmoid(out)
+
+
+class GRUDiscriminator(nn.Module):
+    """Bi-GRU discriminator over pose sequences with optional text
+    conditioning (hierarchy_net.py:153-194, multimodal_context_net.py:
+    163-204).  Present for API parity — no reference driver wires it."""
+
+    hidden_size: int = 300
+    n_layers: int = 4
+    dropout: float = 0.3
+    n_poses: int = 34
+    n_words: int = 0
+    word_embed_dim: int = 300
+
+    @nn.compact
+    def __call__(self, poses, in_text=None, train: bool = False):
+        x = poses
+        if self.n_words and in_text is not None:
+            text_feat = TextEncoderTCN(
+                n_words=self.n_words, embed_dim=self.word_embed_dim,
+                hidden_size=self.hidden_size, n_layers=self.n_layers)(
+                in_text, deterministic=not train)
+            x = jnp.concatenate([x, text_feat], axis=2)
+        out, _ = GRU(hidden_size=self.hidden_size, n_layers=self.n_layers,
+                     bidirectional=True, dropout=self.dropout)(
+            x, deterministic=not train)
+        out = out[..., :self.hidden_size] + out[..., self.hidden_size:]
+        out = Dense(1)(out)[..., 0]     # (B, T)
+        out = Dense(1)(out)             # Linear(n_poses, 1)
+        return jax.nn.sigmoid(out)

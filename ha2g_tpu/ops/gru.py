@@ -61,7 +61,9 @@ def _gru_scan(xp: jnp.ndarray, h0: jnp.ndarray, w_hh: jnp.ndarray,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_final, outs = jax.lax.scan(step, h0, xp)
+    # unroll=4: ~25% faster on v5e for the 34-step HA2G sequences (loop
+    # overhead dominates these small per-step matmuls); exact same math
+    h_final, outs = jax.lax.scan(step, h0, xp, unroll=4)
     return outs, h_final
 
 
