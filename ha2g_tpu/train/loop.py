@@ -60,7 +60,9 @@ class Trainer:
     def __init__(self, cfg: Config, train_samples, val_samples, lang: Vocab,
                  speaker: Vocab, evaluator: Optional[EmbeddingSpaceEvaluator]
                  = None, use_mesh: bool = True,
-                 beat_consistency_score: bool = False):
+                 beat_consistency_score: bool = False,
+                 tensorboard: bool = False,
+                 profile_dir: Optional[str] = None):
         self.cfg = cfg
         self.lang = lang
         self.speaker = speaker
@@ -79,6 +81,17 @@ class Trainer:
         self.rng = jax.random.PRNGKey(max(cfg.random_seed, 0))
         self.best_values: dict[str, tuple[float, int]] = {}
         self._steps: dict = {}
+        self.profile_dir = profile_dir
+        self.tb = None
+        if tensorboard:
+            # per-iteration train scalars + per-epoch val metrics, like the
+            # reference SummaryWriter usage (train.py:98-99,181,301-303)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(
+                    log_dir=str(Path(cfg.model_save_path) / "tb"))
+            except ImportError:
+                logging.warning("tensorboard unavailable; scalars disabled")
 
     # ------------------------------------------------------------------
     def _train_step(self, epoch: int):
@@ -172,6 +185,9 @@ class Trainer:
             if epoch % eval_every == 0:
                 val = self.evaluate(state, epoch)
                 history.append(val)
+                if self.tb is not None:
+                    for k, v in val.items():
+                        self.tb.add_scalar(f"val/{k}", v, epoch)
                 self._track_best(val, epoch, state, save_path)
             if epoch % 10 == 0 and epoch > 0:
                 save_checkpoint(save_path / f"checkpoint_{epoch:03d}", state,
@@ -181,6 +197,11 @@ class Trainer:
             meters: dict[str, AverageMeter] = {}
             t0, n_samples = time.time(), 0
             for batch in self.train_loader:
+                if self.profile_dir is not None and global_iter == 3:
+                    # trace a few warm steps (JAX profiler -> tensorboard/
+                    # xprof); replaces the reference's wall-clock-only
+                    # observability (SURVEY.md section 5.1)
+                    jax.profiler.start_trace(self.profile_dir)
                 rng = jax.random.fold_in(self.rng, global_iter)
                 if cfg.model == "gesture_autoencoder" and \
                         cfg.pose_dim == 126:
@@ -189,9 +210,16 @@ class Trainer:
                 else:
                     state, metrics = step_fn(state, batch, rng)
                 global_iter += 1
+                if self.profile_dir is not None and global_iter == 6:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
                 n_samples += cfg.batch_size
                 for k, v in metrics.items():
                     meters.setdefault(k, AverageMeter(k)).update(float(v))
+                    if self.tb is not None:
+                        self.tb.add_scalar(f"train/{k}", float(v),
+                                           global_iter)
                 if log_every and global_iter % log_every == 0:
                     sps = n_samples / max(time.time() - t0, 1e-6)
                     logging.info(

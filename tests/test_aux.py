@@ -130,3 +130,33 @@ def test_expressive_hierarchy_train_step():
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     for k in ("loss", "dis", "gen", "phy", "KLD"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_training_is_reproducible():
+    """Golden-trajectory property (SURVEY.md section 4): fixed seeds give an
+    identical loss trajectory run to run."""
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.data import (BatchLoader, Vocab, build_vocab,
+                               default_mean_dir_vec, synthetic_clips,
+                               window_clips)
+    from ha2g_tpu.skeleton import TED_GESTURE
+    from ha2g_tpu.train.loop import Trainer
+
+    cfg = Config(model="gesture_autoencoder", pose_dim=27, n_poses=34,
+                 batch_size=8, epochs=1, random_seed=7,
+                 model_save_path="/tmp/ha2g_repro")
+    clips = synthetic_clips(TED_GESTURE, n_clips=3, clip_seconds=6.0)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    samples = window_clips(clips, TED_GESTURE, lang, speaker,
+                           np.zeros(30, np.float32),
+                           default_mean_dir_vec(TED_GESTURE))
+
+    def run():
+        tr = Trainer(cfg, samples, samples, lang, speaker, use_mesh=False)
+        _, history = tr.fit(epochs=1, save_path="/tmp/ha2g_repro")
+        return [h["loss"] for h in history]
+
+    assert run() == run()
