@@ -100,7 +100,8 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
                  static_joints: tuple[int, int] = (6, 9),
                  disable_filtering: bool = False,
                  remove_word_timing: bool = False,
-                 max_words: int = 32) -> WindowedSamples:
+                 max_words: int = 32,
+                 use_native: Optional[bool] = None) -> WindowedSamples:
     """Run the full windowing pipeline over clip records.
 
     Each clip dict: skeletons_3d (F, n_joints, 3), audio_raw (n,) float,
@@ -108,6 +109,10 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
     [(word, start_t, end_t)], start_time, end_time, vid.
     """
     from ha2g_tpu.ops.mel import log_mel_np
+    from ha2g_tpu import native
+
+    if use_native is None:
+        use_native = native.available()
 
     n_ext = n_extended or int(round(n_poses * 1.25))
     audio_len_ext = int(round(n_ext / fps * SR))
@@ -121,8 +126,7 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
 
     for clip in clips:
         duration = clip["end_time"] - clip["start_time"]
-        skel = resample_pose_seq(np.asarray(clip["skeletons_3d"], np.float32),
-                                 duration, fps)
+        raw_skel = np.asarray(clip["skeletons_3d"], np.float32)
         if "audio_spec" in clip and clip["audio_spec"] is not None:
             clip_spec = np.asarray(clip["audio_spec"], np.float32)
         else:
@@ -132,24 +136,44 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
         word_list = clip["words"]
         vid_idx = speaker.get_word_index(clip["vid"])
 
-        num_subdivision = math.floor((len(skel) - n_ext)
-                                     / subdivision_stride) + 1
-        for i in range(max(num_subdivision, 0)):
-            start_idx = i * subdivision_stride
+        # candidate windows passing the motion filter:
+        # (start_idx, clipped skeleton (n_poses, J, 3), target or None)
+        candidates = []
+        if use_native:
+            tgts, poss, starts = native.window_clip_native(
+                raw_skel.reshape(len(raw_skel), spec.n_joints, 3), duration,
+                fps, spec, mean_dir_vec, mean_pose, n_poses, n_ext,
+                subdivision_stride, static_joints, disable_filtering)
+            # resampled stream length, same formula as the engine/resampler
+            step = len(raw_skel) / (duration * fps)
+            n_frames_resampled = int(np.ceil(len(raw_skel) / step))
+            for t, p, s in zip(tgts, poss, starts):
+                candidates.append((int(s), n_frames_resampled,
+                                   p.reshape(n_poses, spec.n_joints, 3), t))
+        else:
+            skel = resample_pose_seq(raw_skel, duration, fps)
+            num_subdivision = math.floor((len(skel) - n_ext)
+                                         / subdivision_stride) + 1
+            for i in range(max(num_subdivision, 0)):
+                start_idx = i * subdivision_stride
+                win = skel[start_idx:start_idx + n_ext]
+                if not disable_filtering and \
+                        mfilter.check(win) != "PASS":
+                    continue
+                candidates.append((start_idx, len(skel),
+                                   win[:n_poses], None))
+
+        for start_idx, n_skel_frames, sample_skel_c, pre_target in candidates:
             fin_idx = start_idx + n_ext
-            sample_skel = skel[start_idx:fin_idx]
             sub_start = clip["start_time"] + start_idx / fps
             sub_end = clip["start_time"] + fin_idx / fps
             words = [w for w in word_list
                      if w[1] >= sub_start and w[1] <= sub_end]
             if len(words) < 2:
                 continue
-            if not disable_filtering and \
-                    mfilter.check(sample_skel) != "PASS":
-                continue
 
             # aligned spectrogram window (data_preprocessor.py:106-115)
-            a0 = math.floor(start_idx / len(skel) * clip_spec.shape[1])
+            a0 = math.floor(start_idx / n_skel_frames * clip_spec.shape[1])
             a1 = a0 + spec_len_ext
             cs = clip_spec
             if a1 > cs.shape[1]:
@@ -158,7 +182,7 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
             sample_spec = cs[:, a0:a1]
 
             # aligned raw audio window (data_preprocessor.py:117-128)
-            r0 = math.floor(start_idx / len(skel) * len(audio_raw))
+            r0 = math.floor(start_idx / n_skel_frames * len(audio_raw))
             r1 = r0 + audio_len_ext
             ar = audio_raw
             if r1 > len(ar):
@@ -167,8 +191,7 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
 
             # __getitem__-stage clipping (lmdb_data_loader.py:155-162)
             sample_end_time = sub_start + (sub_end - sub_start) * \
-                n_poses / len(sample_skel)
-            sample_skel_c = sample_skel[:n_poses]
+                n_poses / n_ext
             sample_audio_c = sample_audio[:audio_len]
             if len(sample_audio_c) < audio_len:
                 sample_audio_c = np.pad(
@@ -176,9 +199,14 @@ def window_clips(clips: Iterable[dict], spec: SkeletonSpec,
                     mode="symmetric")
             sample_spec_c = sample_spec[:, :spec_len]
 
-            # dir-vec target (data_preprocessor.py:157-158)
-            dvec = _pose_to_dir_vec_np(sample_skel_c, spec)
-            target = (dvec.reshape(n_poses, -1) - mean_dir_vec.reshape(1, -1))
+            # dir-vec target (data_preprocessor.py:157-158); the native
+            # engine already produced it
+            if pre_target is not None:
+                target = pre_target
+            else:
+                dvec = _pose_to_dir_vec_np(sample_skel_c, spec)
+                target = (dvec.reshape(n_poses, -1) -
+                          mean_dir_vec.reshape(1, -1))
 
             # frame-aligned word indices (lmdb_data_loader.py:116-141)
             frame_duration = (sample_end_time - sub_start) / n_poses
