@@ -81,6 +81,9 @@ class GRU(nn.Module):
     bidirectional: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # opt-in Pallas fused-recurrence kernel (ops/pallas_gru.py): bit-exact,
+    # faster for small-batch (latency-bound) bidirectional inference
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
@@ -115,7 +118,12 @@ class GRU(nn.Module):
                     [xp[:, :1], xp[::-1, 1:]], axis=1)
 
             h0_layer = h0[layer * D:(layer + 1) * D]
-            outs, h_f = _gru_scan(xp, h0_layer, w_hh, b_hh)
+            if self.use_pallas and D == 2:
+                from ha2g_tpu.ops.pallas_gru import gru_sequence
+                outs = gru_sequence(xp, h0_layer, w_hh, b_hh)
+                h_f = outs[-1]
+            else:
+                outs, h_f = _gru_scan(xp, h0_layer, w_hh, b_hh)
             h_finals.append(h_f)
 
             if D == 2:
