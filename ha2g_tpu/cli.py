@@ -119,44 +119,139 @@ def cmd_train(argv):
     return 0
 
 
-def cmd_synthesize(argv):
-    """from_db_clip / eval-style synthesis from a checkpoint."""
+def _dummy_batch(cfg):
+    import jax.numpy as jnp
+    audio_len = int(round(cfg.n_poses / cfg.motion_resampling_framerate
+                          * 16000))
+    from ha2g_tpu.data.dataset import spectrogram_length_for
+    spec_len = spectrogram_length_for(cfg.n_poses,
+                                      cfg.motion_resampling_framerate)
+    return {"text": jnp.zeros((2, cfg.n_poses), jnp.int32),
+            "word_seq": jnp.zeros((2, 8), jnp.int32),
+            "word_lengths": jnp.asarray([8, 4]),
+            "spec": jnp.zeros((2, 128, spec_len)),
+            "audio": jnp.zeros((2, audio_len)),
+            "target": jnp.zeros((2, cfg.n_poses, cfg.pose_dim)),
+            "vids": jnp.zeros((2,), jnp.int32)}
+
+
+def _load_checkpoint_system(checkpoint: str):
     import jax
     from ha2g_tpu import checkpoint as ckpt
-    from ha2g_tpu.synthesis import HierarchySynthesizer
     from ha2g_tpu.train.loop import build_system
+    cfg, _ = ckpt.load_config(checkpoint)
+    lang, speaker = ckpt.load_vocabs(checkpoint)
+    system = build_system(cfg, lang.n_words, max(speaker.n_words, 1),
+                          lang.word_embedding_weights)
+    template = system.init(jax.random.PRNGKey(0), _dummy_batch(cfg))
+    state = ckpt.load_state(checkpoint, template)
+    return cfg, lang, speaker, system, state
+
+
+def cmd_synthesize(argv):
+    """from_db_clip-style synthesis from a checkpoint (any model family)."""
+    from ha2g_tpu.synthesis import make_synthesizer
 
     p = argparse.ArgumentParser()
     p.add_argument("checkpoint")
     p.add_argument("--clips", default="synthetic")
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--out", default="synthesis_out.npz")
+    p.add_argument("--fade_out", action="store_true")
+    p.add_argument("--render", action="store_true",
+                   help="also render a skeleton video per clip")
     a = p.parse_args(argv)
 
-    cfg, _ = ckpt.load_config(a.checkpoint)
-    lang, speaker = ckpt.load_vocabs(a.checkpoint)
-    system = build_system(cfg, lang.n_words, max(speaker.n_words, 1),
-                          lang.word_embedding_weights)
+    cfg, lang, speaker, system, state = _load_checkpoint_system(a.checkpoint)
     clips = _load_split(a.clips, cfg, 2)[:a.n]
 
-    import jax.numpy as jnp
-    dummy = {"text": jnp.zeros((2, cfg.n_poses), jnp.int32),
-             "spec": jnp.zeros((2, 128, 70)),
-             "target": jnp.zeros((2, cfg.n_poses, cfg.pose_dim)),
-             "vids": jnp.zeros((2,), jnp.int32)}
-    template = system.init(jax.random.PRNGKey(0), dummy)
-    state = ckpt.load_state(a.checkpoint, template)
-
-    synth = HierarchySynthesizer(system, state)
+    synth = make_synthesizer(system, state)
     n_samples = min(len(c["audio_raw"]) for c in clips)
     audio = np.stack([np.asarray(c["audio_raw"][:n_samples], np.float32)
                       for c in clips])
     words = [c["words"] for c in clips]
     vids = np.asarray([speaker.get_word_index(c["vid"]) for c in clips],
                       np.int32)
-    out = synth.generate(audio, words, lang, vids)
+    out = synth.generate(audio, words, lang, vids, fade_out=a.fade_out)
     np.savez(a.out, dir_vec=out, audio=audio)
     print(f"wrote {a.out}: {out.shape}")
+    if a.render:
+        from ha2g_tpu.render import create_video_and_save
+        path = create_video_and_save(
+            str(Path(a.out).parent), 0, "synth", 0, None, out[0],
+            cfg.mean_dir_vec_array, "synthesized", cfg.skeleton,
+            audio=audio[0])
+        print(f"rendered {path}")
+    return 0
+
+
+def cmd_from_text(argv):
+    """from_text synthesis: transcript (+optional wav) -> gestures
+    (reference synthesize.py:273-338; TTS/gentle are optional deps —
+    without them supply --wav and the uniform word alignment is used)."""
+    from ha2g_tpu.synthesis import make_synthesizer
+    from ha2g_tpu.tts_align import TTSHelper, uniform_align
+
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint")
+    p.add_argument("--text", required=True)
+    p.add_argument("--wav", default=None, help="16kHz mono wav; if omitted, "
+                   "Google TTS is attempted")
+    p.add_argument("--out", default="from_text_out.npz")
+    a = p.parse_args(argv)
+
+    cfg, lang, speaker, system, state = _load_checkpoint_system(a.checkpoint)
+
+    if a.wav:
+        import wave
+        with wave.open(a.wav, "rb") as w:
+            assert w.getframerate() == 16000 and w.getnchannels() == 1
+            pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        audio = (pcm.astype(np.float32) / 32767.0)[None]
+    else:
+        path = TTSHelper().synthesis(f"<speak>{a.text}</speak>")
+        import wave
+        with wave.open(path, "rb") as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        audio = (pcm.astype(np.float32) / 32767.0)[None]
+
+    duration = audio.shape[1] / 16000.0
+    try:
+        from ha2g_tpu.tts_align import gentle_align
+        words = gentle_align(a.wav, a.text)
+    except ImportError:
+        words = uniform_align(a.text, duration)
+
+    synth = make_synthesizer(system, state)
+    vids = np.zeros((1,), np.int32)
+    out = synth.generate(audio, [words], lang, vids, fade_out=True)
+    np.savez(a.out, dir_vec=out, audio=audio)
+    print(f"wrote {a.out}: {out.shape}")
+    return 0
+
+
+def cmd_eval(argv):
+    """Testset metrics from a checkpoint (reference synthesize*.py eval
+    mode, synthesize.py:263-271)."""
+    from ha2g_tpu.train.loop import Trainer
+
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint")
+    p.add_argument("--clips", default="synthetic")
+    p.add_argument("--bc", action="store_true",
+                   help="also compute beat consistency")
+    a = p.parse_args(argv)
+
+    cfg, lang, speaker, system, state = _load_checkpoint_system(a.checkpoint)
+    cfg2, lang2, speaker2, train_s, val_s = _prepare(
+        cfg.replace(test_data_path=a.clips))
+    evaluator = _make_evaluator(cfg, lang)
+    trainer = Trainer(cfg, val_s, val_s, lang, speaker, evaluator,
+                      use_mesh=False, beat_consistency_score=a.bc)
+    # evaluate the restored state with the trainer-owned jitted eval step
+    trainer.system = system
+    metrics = trainer.evaluate(state, 0)
+    print({k: round(float(v), 5) for k, v in metrics.items()})
     return 0
 
 
@@ -174,6 +269,7 @@ def cmd_import_lmdb(argv):
 
 def main():
     cmds = {"train": cmd_train, "synthesize": cmd_synthesize,
+            "from-text": cmd_from_text, "eval": cmd_eval,
             "import-lmdb": cmd_import_lmdb}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m ha2g_tpu.cli {{{'|'.join(cmds)}}} ...")

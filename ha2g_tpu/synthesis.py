@@ -1,17 +1,18 @@
 """Sliding-window gesture synthesis engine.
 
-Rebuild of the reference generators (synthesize_hierarchy.py:36-215,
-synthesize.py:36-209): long audio is processed in n_poses-frame windows with
-stride n_poses - n_pre_poses; each window is seeded with the last n_pre
-predicted frames of the previous window, and overlapping frames are linearly
-cross-faded on the host.
+Rebuild of the reference generators (synthesize.py:36-209 for the baseline
+models, synthesize_hierarchy.py:36-215 and the 6-level expressive variant
+for HA2G): long audio is processed in n_poses-frame windows with stride
+n_poses - n_pre_poses; each window is seeded with the last n_pre predicted
+frames of the previous window, and overlapping frames are linearly
+cross-faded on the host.  Post-processing ports: cubic polyfit smoothing
+for seq2seq and the quadratic fade-to-mean tail.
 
 TPU-first design:
-* The per-window step (audio encoder + full level cascade) is ONE jitted
-  function; windows within a clip are sequentially dependent (the pre-seq
-  carry), but the engine synthesizes a BATCH of independent clips
-  simultaneously — the throughput axis the per-clip reference loop never
-  exploits.
+* The per-window step is ONE jitted function; windows within a clip are
+  sequentially dependent (the pre-seq carry), but the engine synthesizes a
+  BATCH of independent clips simultaneously — the throughput axis the
+  per-clip reference loop never exploits.
 * The mel front-end runs once per clip on-device (ops/mel.py) instead of
   librosa on host.
 """
@@ -19,8 +20,7 @@ TPU-first design:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ha2g_tpu.config import Config
 from ha2g_tpu.data.dataset import spectrogram_length_for
-from ha2g_tpu.data.vocab import Vocab
+from ha2g_tpu.data.vocab import EOS_TOKEN, SOS_TOKEN, Vocab
 from ha2g_tpu.ops.mel import log_mel_spectrogram
 from ha2g_tpu.skeleton import SkeletonSpec
 from ha2g_tpu.train.cascade import run_cascade
@@ -61,42 +61,46 @@ def frame_aligned_word_indices(words, start_time, end_time, n_frames,
     return ext
 
 
-class HierarchySynthesizer:
-    """Batched sliding-window synthesis for the hierarchy model."""
+def word_seq_indices(words, start_time, end_time, lang: Vocab,
+                     max_words: int = 32) -> np.ndarray:
+    """SOS..EOS token sequence for one window (synthesize_hierarchy.py:
+    102-111)."""
+    seq = [SOS_TOKEN]
+    for w in words:
+        if start_time <= w[1] <= end_time:
+            seq.append(lang.get_word_index(w[0]))
+    seq.append(EOS_TOKEN)
+    return np.asarray(seq[:max_words], np.int32)
 
-    def __init__(self, system, state, fixed_batch: Optional[int] = None):
+
+class SlidingWindowSynthesizer:
+    """Shared window loop: subclasses implement `window_step`."""
+
+    uses_spec = True
+    uses_audio = False
+    uses_word_seq = False
+
+    def __init__(self, system, state):
         self.system = system
-        self.cfg = system.cfg
-        self.spec: SkeletonSpec = system.spec
-        self.params = state.params
-        self.batch_stats = state.batch_stats
-        self._window_step = jax.jit(self._window_step_fn)
+        self.cfg: Config = system.cfg
+        self.spec: SkeletonSpec = self.cfg.skeleton
+        self.state = state
+        self._step = jax.jit(self.window_step)
 
-    def _window_step_fn(self, params, batch_stats, in_spec, in_text, carry,
-                        vids, rng):
-        """One window for a batch of clips.
+    # subclass API ---------------------------------------------------------
+    def window_step(self, state, inputs: dict, rng) -> jnp.ndarray:
+        """inputs: spec_w (B, 128, S), audio_w (B, n), text_w (B, T),
+        word_seq (B, W) + lengths, carry (B, n_pre, pose_dim), vids (B,)
+        -> (B, T, pose_dim)."""
+        raise NotImplementedError
 
-        in_spec (B, 128, S); in_text (B, T); carry (B, n_pre, pose_dim)
-        previous window's tail (zeros for the first window); vids (B,).
-        """
-        cfg = self.cfg
-        B, T = in_text.shape
-        target = jnp.zeros((B, cfg.n_poses, self.spec.pose_dim))
-        target = target.at[:, :cfg.n_pre_poses].set(carry)
-        audio_vars = {"params": params["audio"],
-                      "batch_stats": batch_stats["audio"]}
-        _, _, _, _, blend = self.system.audio.apply(
-            audio_vars, in_spec, vids, train=False)
-        gen_apply = self.system._gen_apply(params["gens"], rng, train=False)
-        outs, _, _, _, _ = run_cascade(gen_apply, self.spec, target, in_text,
-                                       blend, vids, cfg.n_pre_poses)
-        return outs[-1]
-
+    # ----------------------------------------------------------------------
     def generate(self, audio: np.ndarray, words_per_clip: Sequence,
                  lang: Vocab, vids: np.ndarray,
-                 rng: Optional[jax.Array] = None) -> np.ndarray:
-        """audio (B, n_samples) float32; words_per_clip: list of B word
-        lists [(word, t0, t1)]; vids (B,) -> (B, total_frames, pose_dim)."""
+                 rng: Optional[jax.Array] = None,
+                 fade_out: bool = False) -> np.ndarray:
+        """audio (B, n_samples); words_per_clip: list of B word lists;
+        vids (B,) -> (B, total_frames, pose_dim)."""
         cfg = self.cfg
         B, n_samples = audio.shape
         clip_seconds = n_samples / SR
@@ -106,10 +110,11 @@ class HierarchySynthesizer:
         audio_len = int(unit_time * SR)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        # whole-clip mel once, on device (B, 128, S_total)
-        full_spec = np.asarray(jax.vmap(log_mel_spectrogram)(
-            jnp.asarray(audio)))
-        S_total = full_spec.shape[2]
+        full_spec = None
+        if self.uses_spec:
+            full_spec = np.asarray(jax.vmap(log_mel_spectrogram)(
+                jnp.asarray(audio)))
+        end_padding = 0.0
 
         out_list: list[np.ndarray] = []
         carry = np.zeros((B, cfg.n_pre_poses, self.spec.pose_dim), np.float32)
@@ -117,27 +122,48 @@ class HierarchySynthesizer:
         for i in range(num_sub):
             start_time = i * stride_time
             end_time = start_time + unit_time
-            # spectrogram window (synthesize_hierarchy.py:83-86); note the
-            # reference indexes by time fraction of the spectrogram length
-            s0 = math.floor(start_time / clip_seconds * S_total)
-            s1 = s0 + spec_len
-            if s1 > S_total:
-                pad = s1 - S_total
-                spec_w = np.pad(full_spec, ((0, 0), (0, 0), (0, pad)),
-                                mode="edge")[:, :, s0:s1]
-            else:
-                spec_w = full_spec[:, :, s0:s1]
+            inputs = {"carry": jnp.asarray(carry), "vids": vids_j}
 
-            text_w = np.stack([
-                frame_aligned_word_indices(words, start_time, end_time,
+            if self.uses_spec:
+                S_total = full_spec.shape[2]
+                s0 = math.floor(start_time / clip_seconds * S_total)
+                s1 = s0 + spec_len
+                if s1 > S_total:
+                    spec_w = np.pad(full_spec,
+                                    ((0, 0), (0, 0), (0, s1 - S_total)),
+                                    mode="edge")[:, :, s0:s1]
+                else:
+                    spec_w = full_spec[:, :, s0:s1]
+                inputs["spec_w"] = jnp.asarray(spec_w)
+
+            if self.uses_audio:
+                a0 = math.floor(start_time / clip_seconds * n_samples)
+                a1 = a0 + audio_len
+                aw = audio[:, a0:a1]
+                if aw.shape[1] < audio_len:
+                    if i == num_sub - 1:
+                        end_padding = (audio_len - aw.shape[1]) / SR
+                    aw = np.pad(aw, ((0, 0), (0, audio_len - aw.shape[1])))
+                inputs["audio_w"] = jnp.asarray(aw)
+
+            inputs["text_w"] = jnp.asarray(np.stack([
+                frame_aligned_word_indices(w, start_time, end_time,
                                            cfg.n_poses, lang)
-                for words in words_per_clip])
+                for w in words_per_clip]))
 
-            out = self._window_step(self.params, self.batch_stats,
-                                    jnp.asarray(spec_w), jnp.asarray(text_w),
-                                    jnp.asarray(carry), vids_j,
-                                    jax.random.fold_in(rng, i))
-            out = np.asarray(out)  # (B, T, D)
+            if self.uses_word_seq:
+                seqs = [word_seq_indices(w, start_time, end_time, lang)
+                        for w in words_per_clip]
+                mw = 32  # fixed width keeps the jitted step's shapes static
+                padded = np.zeros((B, mw), np.int32)
+                for bi, s in enumerate(seqs):
+                    padded[bi, :len(s)] = s
+                inputs["word_seq"] = jnp.asarray(padded)
+                inputs["word_lengths"] = jnp.asarray(
+                    [len(s) for s in seqs], np.int32)
+
+            out = np.asarray(self._step(self.state, inputs,
+                                        jax.random.fold_in(rng, i)))
             carry = out[:, -cfg.n_pre_poses:]
 
             if out_list:
@@ -152,7 +178,122 @@ class HierarchySynthesizer:
                 out = np.concatenate([blend, out[:, n:]], axis=1)
             out_list.append(out)
 
-        return np.concatenate(out_list, axis=1)
+        result = np.concatenate(out_list, axis=1)
+        if self.cfg.model == "seq2seq":
+            result = np.stack([polyfit_smooth(r, cfg) for r in result])
+        if fade_out:
+            result = np.stack([fade_out_to_mean(r, cfg, end_padding)
+                               for r in result])
+        return result
+
+
+class HierarchySynthesizer(SlidingWindowSynthesizer):
+    """Per-window audio encoder + full level cascade
+    (synthesize_hierarchy.py:127-146)."""
+
+    uses_spec = True
+
+    def window_step(self, state, inputs, rng):
+        cfg = self.cfg
+        B = inputs["text_w"].shape[0]
+        target = jnp.zeros((B, cfg.n_poses, self.spec.pose_dim))
+        target = target.at[:, :cfg.n_pre_poses].set(inputs["carry"])
+        audio_vars = {"params": state.params["audio"],
+                      "batch_stats": state.batch_stats["audio"]}
+        _, _, _, _, blend = self.system.audio.apply(
+            audio_vars, inputs["spec_w"], inputs["vids"], train=False)
+        gen_apply = self.system._gen_apply(state.params["gens"], rng,
+                                           train=False)
+        outs, _, _, _, _ = run_cascade(gen_apply, self.spec, target,
+                                       inputs["text_w"], blend,
+                                       inputs["vids"], cfg.n_pre_poses)
+        return outs[-1]
+
+
+class MultimodalSynthesizer(SlidingWindowSynthesizer):
+    """Trimodal-context generator per window (synthesize.py:106-119)."""
+
+    uses_spec = False
+    uses_audio = True
+
+    def window_step(self, state, inputs, rng):
+        cfg = self.cfg
+        B = inputs["text_w"].shape[0]
+        pre_seq = jnp.zeros((B, cfg.n_poses, self.spec.pose_dim + 1))
+        pre_seq = pre_seq.at[:, :cfg.n_pre_poses, :-1].set(inputs["carry"])
+        pre_seq = pre_seq.at[:, :cfg.n_pre_poses, -1].set(1.0)
+        out, *_ = self.system.gen.apply(
+            {"params": state.params["gen"],
+             "batch_stats": state.batch_stats["gen"]},
+            pre_seq, inputs["text_w"], inputs["audio_w"], inputs["vids"],
+            train=False,
+            rngs={"dropout": rng, "noise": jax.random.fold_in(rng, 1)})
+        return out
+
+
+class S2GSynthesizer(SlidingWindowSynthesizer):
+    """speech2gesture generator per window (synthesize.py:100-105)."""
+
+    uses_spec = True
+
+    def window_step(self, state, inputs, rng):
+        return self.system.gen.apply(
+            {"params": state.params["gen"],
+             "batch_stats": state.batch_stats["gen"]},
+            inputs["spec_w"], inputs["carry"], train=False)
+
+
+class Seq2SeqSynthesizer(SlidingWindowSynthesizer):
+    """seq2seq per window: word tokens -> gestures, teacher-seeded with the
+    carry (synthesize.py:92-99)."""
+
+    uses_spec = False
+    uses_word_seq = True
+
+    def window_step(self, state, inputs, rng):
+        cfg = self.cfg
+        B = inputs["text_w"].shape[0]
+        poses = jnp.zeros((B, cfg.n_poses, self.spec.pose_dim))
+        poses = poses.at[:, :cfg.n_pre_poses].set(inputs["carry"])
+        return self.system.net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            inputs["word_seq"], inputs["word_lengths"], poses,
+            inputs["vids"], train=False, rngs={"dropout": rng})
+
+
+class EmbedSynthesizer(SlidingWindowSynthesizer):
+    """joint_embedding: decode from the speech latent (synthesize.py mode
+    'speech'; eval_embed in train_joint_embed.py:54-62)."""
+
+    uses_spec = False
+    uses_audio = True
+
+    def window_step(self, state, inputs, rng):
+        cfg = self.cfg
+        B = inputs["text_w"].shape[0]
+        pre = inputs["carry"]
+        out = self.system.net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            inputs["text_w"], inputs["audio_w"], pre, None,
+            input_mode="speech", train=False,
+            rngs={"dropout": rng, "noise": jax.random.fold_in(rng, 1)})
+        return out[-1]
+
+
+def make_synthesizer(system, state):
+    """Dispatch on the system's config."""
+    model = system.cfg.model
+    if model == "hierarchy":
+        return HierarchySynthesizer(system, state)
+    if model == "multimodal_context":
+        return MultimodalSynthesizer(system, state)
+    if model == "speech2gesture":
+        return S2GSynthesizer(system, state)
+    if model == "seq2seq":
+        return Seq2SeqSynthesizer(system, state)
+    if model == "joint_embedding":
+        return EmbedSynthesizer(system, state)
+    raise ValueError(f"no synthesizer for model {model}")
 
 
 def polyfit_smooth(out_dir_vec: np.ndarray, cfg: Config) -> np.ndarray:

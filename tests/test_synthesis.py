@@ -1,0 +1,104 @@
+"""Sliding-window synthesis engine tests across model families (tiny dims)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ha2g_tpu.config import Config
+from ha2g_tpu.data.vocab import Vocab
+from ha2g_tpu.synthesis import (fade_out_to_mean, make_synthesizer,
+                                polyfit_smooth, _window_layout)
+
+N_WORDS, N_SPK = 16, 4
+T = 34
+AUDIO_LEN = int(round(T / 15 * 16000))
+
+
+def _lang():
+    lang = Vocab("words")
+    for i in range(N_WORDS - lang.n_words):
+        lang.index_word(f"w{i}")
+    return lang
+
+
+def _clip_inputs(B=2, seconds=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    audio = rng.normal(size=(B, int(seconds * 16000))).astype(np.float32) * .1
+    words = [[(f"w{rng.integers(0, 10)}", float(t), float(t + 0.2))
+              for t in np.arange(0.2, seconds - 0.3, 0.4)]
+             for _ in range(B)]
+    vids = rng.integers(0, N_SPK, (B,)).astype(np.int32)
+    return audio, words, vids
+
+
+def _batch(cfg, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    return {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (2, T))),
+        "word_seq": jnp.asarray(rng.integers(1, N_WORDS, (2, 6))),
+        "word_lengths": jnp.asarray([6, 4]),
+        "spec": jnp.asarray(rng.normal(size=(2, 128, 70)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(2, AUDIO_LEN))
+                             .astype(np.float32)),
+        "target": jnp.asarray(rng.normal(size=(2, T, cfg.pose_dim))
+                              .astype(np.float32) * 0.1),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (2,))),
+    }
+
+
+def _expected_frames(seconds, cfg):
+    _, stride_time, num = _window_layout(cfg, seconds)
+    return cfg.n_poses + (num - 1) * (cfg.n_poses - cfg.n_pre_poses)
+
+
+def test_multimodal_synthesizer():
+    from ha2g_tpu.train.baselines import MultimodalGanSystem
+    cfg = Config(model="multimodal_context", pose_dim=27, n_poses=T,
+                 hidden_size=16, n_layers=2, z_type="speaker")
+    sys_ = MultimodalGanSystem(cfg, N_WORDS, N_SPK)
+    state = sys_.init(jax.random.PRNGKey(0), _batch(cfg))
+    synth = make_synthesizer(sys_, state)
+    audio, words, vids = _clip_inputs()
+    out = synth.generate(audio, words, _lang(), vids)
+    assert out.shape == (2, _expected_frames(5.0, cfg), 27)
+    assert np.isfinite(out).all()
+
+
+def test_s2g_synthesizer():
+    from ha2g_tpu.train.baselines import S2GSystem
+    cfg = Config(model="speech2gesture", pose_dim=27, n_poses=T)
+    sys_ = S2GSystem(cfg)
+    state = sys_.init(jax.random.PRNGKey(0), _batch(cfg))
+    synth = make_synthesizer(sys_, state)
+    audio, words, vids = _clip_inputs()
+    out = synth.generate(audio, words, _lang(), vids)
+    assert out.shape == (2, _expected_frames(5.0, cfg), 27)
+
+
+def test_seq2seq_synthesizer_with_smoothing():
+    from ha2g_tpu.train.baselines import Seq2SeqSystem
+    cfg = Config(model="seq2seq", pose_dim=27, n_poses=T, hidden_size=16,
+                 n_layers=2)
+    sys_ = Seq2SeqSystem(cfg, N_WORDS)
+    state = sys_.init(jax.random.PRNGKey(0), _batch(cfg))
+    synth = make_synthesizer(sys_, state)
+    audio, words, vids = _clip_inputs()
+    out = synth.generate(audio, words, _lang(), vids)
+    assert out.shape == (2, _expected_frames(5.0, cfg), 27)
+    assert np.isfinite(out).all()
+
+
+def test_fade_out_ends_at_mean():
+    cfg = Config(pose_dim=27, n_poses=T)
+    x = np.ones((100, 27), np.float32)
+    out = fade_out_to_mean(x, cfg, end_padding_duration_s=1.0)
+    np.testing.assert_allclose(out[-1], 0.0, atol=1e-6)
+
+
+def test_polyfit_smooth_preserves_shape():
+    cfg = Config(pose_dim=27, n_poses=T, n_pre_poses=4)
+    x = np.random.default_rng(0).normal(size=(94, 27)).astype(np.float32)
+    out = polyfit_smooth(x, cfg)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
