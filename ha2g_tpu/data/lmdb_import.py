@@ -13,7 +13,6 @@ no hard dependency on them.
 
 from __future__ import annotations
 
-from pathlib import Path
 
 
 def import_lmdb(lmdb_dir: str, out_dir: str, limit: int | None = None) -> int:

@@ -9,7 +9,7 @@ equivalent of DataParallel, SURVEY.md section 2.9).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import jax

@@ -21,7 +21,6 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from ha2g_tpu.ops.mel import log_mel_np
 from ha2g_tpu.skeleton import SkeletonSpec
 
 

@@ -8,7 +8,6 @@ reference (motion_ae.py:86-92, 122-123).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
 

@@ -10,7 +10,6 @@ section 2.9), but capability parity requires only DP.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import cached_property
-from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ functions with the same state-pytree pattern as HierarchySystem.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

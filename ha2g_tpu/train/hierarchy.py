@@ -25,8 +25,7 @@ global sharded batch (sync-BN) rather than DataParallel's per-replica stats.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

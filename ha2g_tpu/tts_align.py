@@ -17,7 +17,6 @@ import hashlib
 import logging
 import re
 from pathlib import Path
-from typing import Optional
 
 
 class TTSHelper:
