@@ -34,11 +34,41 @@ def _load_split(path: str, cfg, seed: int):
                            n_speakers=6, seed=seed)
 
 
+def _h36m_samples(cfg, is_train):
+    """H36M windows -> WindowedSamples with dummy text/audio channels (the
+    gesture autoencoder consumes only `target`; reference
+    train_feature_extractor.py:110-131)."""
+    from ha2g_tpu.data.dataset import WindowedSamples, spectrogram_length_for
+    from ha2g_tpu.data.h36m import h36m_windows
+    targets = h36m_windows(cfg.train_data_path, cfg.mean_dir_vec_array,
+                           is_train=is_train, n_poses=cfg.n_poses)
+    n = targets.shape[0]
+    audio_len = int(round(cfg.n_poses / cfg.motion_resampling_framerate
+                          * 16000))
+    spec_len = spectrogram_length_for(cfg.n_poses,
+                                      cfg.motion_resampling_framerate)
+    z = np.zeros
+    return WindowedSamples(
+        text=z((n, cfg.n_poses), np.int32),
+        word_seq=z((n, 2), np.int32), word_lengths=np.full(n, 2, np.int32),
+        pose=z((n, cfg.n_poses, 30), np.float32), target=targets,
+        audio=z((n, audio_len), np.float32),
+        spec=z((n, 128, spec_len), np.float32), vids=z((n,), np.int32))
+
+
 def _prepare(cfg):
     """Load clips, build vocabs, window into samples."""
     from ha2g_tpu.data.dataset import window_clips
     from ha2g_tpu.data.synthetic import default_mean_dir_vec
     from ha2g_tpu.data.vocab import Vocab, build_vocab
+
+    if cfg.train_data_path.endswith(".npz"):
+        # H36M feature-extractor path (reference train_feature_extractor.py)
+        lang = Vocab("words")
+        speaker = Vocab("vid", insert_default_tokens=False)
+        lang.random_word_vectors(cfg.wordembed_dim)
+        return (cfg, lang, speaker, _h36m_samples(cfg, True),
+                _h36m_samples(cfg, False))
 
     train_clips = _load_split(cfg.train_data_path, cfg, 0)
     val_clips = _load_split(cfg.val_data_path, cfg, 1)

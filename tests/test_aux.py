@@ -160,3 +160,20 @@ def test_training_is_reproducible():
         return [h["loss"] for h in history]
 
     assert run() == run()
+
+
+def test_h36m_cli_prepare(tmp_path):
+    """The CLI's H36M path produces trainable samples for the FGD AE."""
+    from ha2g_tpu.cli import _prepare
+    from ha2g_tpu.config import Config
+    rng = np.random.default_rng(0)
+    positions = {"S1": {"Walk": rng.normal(size=(180, 32, 3)).astype(
+        np.float32)}, "S11": {"Eat": rng.normal(size=(150, 32, 3)).astype(
+            np.float32)}}
+    p = tmp_path / "h36m.npz"
+    np.savez(p, positions_3d=np.array(positions, dtype=object))
+    cfg = Config(model="gesture_autoencoder", pose_dim=27, n_poses=34,
+                 train_data_path=str(p), val_data_path=str(p))
+    cfg2, lang, speaker, train_s, val_s = _prepare(cfg)
+    assert len(train_s) > 0 and len(val_s) > 0
+    assert train_s.target.shape[1:] == (34, 27)
