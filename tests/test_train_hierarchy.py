@@ -80,3 +80,20 @@ def test_eval_step(system_and_state):
     out, l1 = ev(state, batch, jax.random.PRNGKey(3))
     assert out.shape == (B, T, 27)
     assert np.isfinite(float(l1))
+
+
+@pytest.mark.parametrize("z_type", ["random", "none"])
+def test_z_type_variants(z_type):
+    """z_type='random' draws N(0,I) (no KLD); 'none' disables z entirely
+    (reference hierarchy_net.py:113-126, train_hierarchy.py:183-231)."""
+    cfg = _tiny_cfg().replace(z_type=z_type)
+    sys_ = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    batch = _batch(np.random.default_rng(1))
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    step = sys_.make_train_step(gan_on=False)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    if z_type == "random":
+        assert "DIV_REG" in metrics and "KLD" not in metrics
+    else:
+        assert "DIV_REG" not in metrics and "KLD" not in metrics
