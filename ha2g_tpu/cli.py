@@ -136,6 +136,11 @@ def cmd_train(argv):
     from ha2g_tpu.train.loop import Trainer
     from ha2g_tpu.utils import set_logger, set_random_seed
 
+    resume = None
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        resume = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     cfg = parse_cli(argv)
     set_logger(cfg.model_save_path, cfg.name)
     if cfg.random_seed >= 0:
@@ -144,7 +149,7 @@ def cmd_train(argv):
     cfg, lang, speaker, train_s, val_s = _prepare(cfg)
     evaluator = _make_evaluator(cfg, lang)
     trainer = Trainer(cfg, train_s, val_s, lang, speaker, evaluator)
-    state, history = trainer.fit()
+    state, history = trainer.fit(resume_from=resume)
     logging.info(f"best: {trainer.best_values}")
     return 0
 

@@ -173,14 +173,26 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None, save_path: Optional[str]
-            = None, eval_every: int = 1, log_every: int = 0):
+            = None, eval_every: int = 1, log_every: int = 0,
+            resume_from: Optional[str] = None):
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         save_path = Path(save_path or cfg.model_save_path)
         state = self.init_state()
+        start_epoch = 0
+        if resume_from:
+            # full-state resume incl. optimizer moments (capability the
+            # reference lacks, SURVEY.md section 5.4)
+            from ha2g_tpu.checkpoint import load_config, load_state
+            state = load_state(resume_from, state)
+            if self.mesh is not None:
+                state = jax.device_put(state, replicate(self.mesh))
+            _, extra = load_config(resume_from)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            logging.info(f"resumed from {resume_from} at epoch {start_epoch}")
         history = []
         global_iter = 0
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             # eval first (train.py:190)
             if epoch % eval_every == 0:
                 val = self.evaluate(state, epoch)
@@ -191,7 +203,8 @@ class Trainer:
                 self._track_best(val, epoch, state, save_path)
             if epoch % 10 == 0 and epoch > 0:
                 save_checkpoint(save_path / f"checkpoint_{epoch:03d}", state,
-                                cfg, self.lang, self.speaker)
+                                cfg, self.lang, self.speaker,
+                                extra={"epoch": epoch - 1})
 
             step_fn = self._train_step(epoch)
             meters: dict[str, AverageMeter] = {}
@@ -236,7 +249,8 @@ class Trainer:
         history.append(val)
         self._track_best(val, epochs, state, save_path)
         save_checkpoint(save_path / "checkpoint_final", state, cfg,
-                        self.lang, self.speaker)
+                        self.lang, self.speaker,
+                        extra={"epoch": epochs - 1})
         return state, history
 
     # ------------------------------------------------------------------

@@ -177,3 +177,35 @@ def test_h36m_cli_prepare(tmp_path):
     cfg2, lang, speaker, train_s, val_s = _prepare(cfg)
     assert len(train_s) > 0 and len(val_s) > 0
     assert train_s.target.shape[1:] == (34, 27)
+
+
+def test_resume_continues_training(tmp_path):
+    """Resume restores params + optimizer state and continues at the next
+    epoch."""
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.data import (Vocab, build_vocab, default_mean_dir_vec,
+                               synthetic_clips, window_clips)
+    from ha2g_tpu.skeleton import TED_GESTURE
+    from ha2g_tpu.train.loop import Trainer
+
+    cfg = Config(model="gesture_autoencoder", pose_dim=27, n_poses=34,
+                 batch_size=8, random_seed=3,
+                 model_save_path=str(tmp_path))
+    clips = synthetic_clips(TED_GESTURE, n_clips=3, clip_seconds=6.0)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    samples = window_clips(clips, TED_GESTURE, lang, speaker,
+                           np.zeros(30, np.float32),
+                           default_mean_dir_vec(TED_GESTURE))
+
+    tr = Trainer(cfg, samples, samples, lang, speaker, use_mesh=False)
+    state1, hist1 = tr.fit(epochs=2, save_path=str(tmp_path))
+
+    tr2 = Trainer(cfg, samples, samples, lang, speaker, use_mesh=False)
+    state2, hist2 = tr2.fit(epochs=4, save_path=str(tmp_path / "resumed"),
+                            resume_from=str(tmp_path / "checkpoint_final"))
+    # resumed run starts where the first ended (epoch 2) and improves
+    assert hist2[0]["loss"] <= hist1[0]["loss"]
+    assert int(state2.step) > int(state1.step)
