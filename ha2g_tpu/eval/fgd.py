@@ -113,6 +113,22 @@ class EmbeddingSpaceEvaluator:
             np.sum(np.abs(real - generated[:real.shape[0]]), axis=-1)))
         return fd, feat_dist
 
+    def get_features_for_viz(self):
+        """2-D projection of real vs generated features for inspection
+        (reference uses UMAP, embedding_space_evaluator.py:104-113; umap is
+        not bundled so PCA is the default with UMAP used when available)."""
+        generated = np.vstack(self.generated_feat_list)
+        real = np.vstack(self.real_feat_list)
+        stacked = np.vstack([generated, real])
+        try:
+            import umap  # type: ignore
+            emb = umap.UMAP().fit_transform(stacked)
+        except ImportError:
+            from sklearn.decomposition import PCA
+            emb = PCA(n_components=2).fit_transform(stacked)
+        n = generated.shape[0]
+        return emb[n:], emb[:n]  # (real, generated) like the reference
+
     def get_diversity_scores(self, rng: Optional[np.random.Generator] = None
                              ) -> float:
         """Mean L1 between first-500-batches features and a shuffled-batch

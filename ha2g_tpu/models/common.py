@@ -200,3 +200,22 @@ def reparameterize(rng, mu, logvar):
     std = jnp.exp(0.5 * logvar)
     eps = jax.random.normal(rng, std.shape, std.dtype)
     return mu + eps * std
+
+
+def pre_emphasis(wav: jnp.ndarray, coef: float = 0.97) -> jnp.ndarray:
+    """y[t] = x[t] - coef * x[t-1] with edge-replicated first sample
+    (reference model/utils.py:22-37; referenced only by the commented-out
+    torchaudio mel path, kept for API parity)."""
+    first = wav[..., :1]
+    prev = jnp.concatenate([first, wav[..., :-1]], axis=-1)
+    return wav - coef * prev
+
+
+def accuracy(output: jnp.ndarray, target: jnp.ndarray,
+             topk=(1,)) -> list[jnp.ndarray]:
+    """Top-k accuracy over logits (reference model/utils.py:7-19)."""
+    maxk = max(topk)
+    pred = jnp.argsort(output, axis=1)[:, ::-1][:, :maxk]
+    correct = pred == target[:, None]
+    return [jnp.sum(correct[:, :k].any(axis=1)) * 100.0 / target.shape[0]
+            for k in topk]

@@ -81,6 +81,37 @@ class SEBasicBlock(nn.Module):
         return jax.nn.relu(y + residual)
 
 
+class SEBottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 (expansion 4) SE bottleneck (ResNetBlocks.py:40-78).
+    Present for API parity — the HA2G config uses SEBasicBlock only."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out_ch = self.planes * self.expansion
+        y = Conv2d(self.planes, 1, use_bias=False,
+                   kernel_init=_kaiming_normal_conv)(x)
+        y = BatchNorm(use_running_average=not train)(y)
+        y = jax.nn.relu(y)
+        y = Conv2d(self.planes, 3, stride=self.stride, padding=1,
+                   use_bias=False, kernel_init=_kaiming_normal_conv)(y)
+        y = BatchNorm(use_running_average=not train)(y)
+        y = jax.nn.relu(y)
+        y = Conv2d(out_ch, 1, use_bias=False,
+                   kernel_init=_kaiming_normal_conv)(y)
+        y = BatchNorm(use_running_average=not train)(y)
+        y = SELayer(out_ch)(y)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = Conv2d(out_ch, 1, stride=self.stride, use_bias=False,
+                              kernel_init=_kaiming_normal_conv)(x)
+            residual = BatchNorm(use_running_average=not train)(residual)
+        return jax.nn.relu(y + residual)
+
+
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """torch nn.PixelShuffle on NHWC: (B, H, W, C*r*r) -> (B, H*r, W*r, C),
     channel-major ordering (c, i, j) as torch."""

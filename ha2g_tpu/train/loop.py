@@ -172,9 +172,27 @@ class Trainer:
         return ret
 
     # ------------------------------------------------------------------
+    def render_sample(self, state, epoch: int, save_path: Path,
+                      n_samples: int = 1):
+        """Render a val sample vs ground truth every N epochs
+        (reference evaluate_sample_and_save_video, train.py:246-250,
+        510-649)."""
+        from ha2g_tpu.render import create_video_and_save
+        batch = next(iter(self.val_loader))
+        out, _ = self._eval_step()(state, batch,
+                                   jax.random.fold_in(self.rng, 99_000))
+        out = np.asarray(out)
+        tgt = np.asarray(batch["target"])
+        audio = np.asarray(batch["audio"])
+        for i in range(min(n_samples, out.shape[0])):
+            create_video_and_save(
+                str(save_path / "videos"), epoch, "val", i, tgt[i], out[i],
+                self.cfg.mean_dir_vec_array, f"epoch {epoch}",
+                self.cfg.skeleton, audio=audio[i])
+
     def fit(self, epochs: Optional[int] = None, save_path: Optional[str]
             = None, eval_every: int = 1, log_every: int = 0,
-            resume_from: Optional[str] = None):
+            resume_from: Optional[str] = None, render_every: int = 0):
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         save_path = Path(save_path or cfg.model_save_path)
@@ -205,6 +223,13 @@ class Trainer:
                 save_checkpoint(save_path / f"checkpoint_{epoch:03d}", state,
                                 cfg, self.lang, self.speaker,
                                 extra={"epoch": epoch - 1})
+            if render_every and epoch % render_every == 0 and \
+                    cfg.model != "gesture_autoencoder" and \
+                    cfg.save_result_video:
+                try:
+                    self.render_sample(state, epoch, save_path)
+                except Exception as e:  # rendering must never kill training
+                    logging.warning("sample render failed: %s", e)
 
             step_fn = self._train_step(epoch)
             meters: dict[str, AverageMeter] = {}
