@@ -28,23 +28,74 @@ def scaled_huber(pred, target, beta: float = 0.1, reduce: bool = True):
     return jnp.mean(loss) if reduce else loss
 
 
+def _contrastive_logits(s, eps):
+    """s = <a_i, b_j> on unit rows -> inverse-L2 similarity logits."""
+    sq = jnp.maximum(2.0 - 2.0 * s, 0.0)
+    dist = jnp.sqrt(sq + 1e-12)
+    return jnp.maximum(1.0 / (dist + eps), eps), dist
+
+
+def _normalize_rows(x, eps):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), eps)
+
+
+@jax.custom_vjp
+def _contrastive_core(a, b):
+    """CE(diag) over inverse-L2 logits for L2-normalized rows a, b (N, D).
+
+    custom VJP: autodiff of the N^2 elementwise chain materializes a stack
+    of (N, N) intermediates (measured ~30 ms/term at N=8704 on v5e); the
+    hand-derived backward recomputes the similarity once and fuses the
+    whole dL/ds expression into the two rank-D matmuls dA = g @ b,
+    dB = g^T @ a.
+    """
+    eps = 1e-8
+    logits, _ = _contrastive_logits(a @ b.T, eps)
+    logz = jax.nn.logsumexp(logits, axis=1)
+    diag = jnp.diagonal(logits)
+    return jnp.mean(logz - diag)
+
+
+def _contrastive_fwd(a, b):
+    eps = 1e-8
+    logits, _ = _contrastive_logits(a @ b.T, eps)
+    logz = jax.nn.logsumexp(logits, axis=1)
+    diag = jnp.diagonal(logits)
+    return jnp.mean(logz - diag), (a, b, logz)
+
+
+def _contrastive_bwd(res, g):
+    a, b, logz = res
+    eps = 1e-8
+    N = a.shape[0]
+    s = a @ b.T
+    logits, dist = _contrastive_logits(s, eps)
+    # dL/dlogits = (softmax - I) / N
+    dlogits = (jnp.exp(logits - logz[:, None]) -
+               jnp.eye(N, dtype=a.dtype)) * (g / N)
+    # logits = max(1/(dist+eps), eps); dist = sqrt(max(2-2s, 0) + 1e-12)
+    # dlogits/ds = [1/(dist+eps)^2] * [1/dist]   (0 where clamps are active)
+    active = (logits > eps) & (2.0 - 2.0 * s > 0.0)
+    ds = jnp.where(active,
+                   dlogits / ((dist + eps) ** 2 * dist), 0.0)
+    return ds @ b, ds.T @ a
+
+
+_contrastive_core.defvjp(_contrastive_fwd, _contrastive_bwd)
+
+
 def softmax_contrastive(feat_a, feat_b, eps: float = 1e-8):
     """CE over inverse-L2 similarity with diagonal labels
     (SoftmaxContrastiveLoss, train_hierarchy.py:54-68).
 
-    feat_a/feat_b: (N, D) per-frame features (N = B*T).
+    feat_a/feat_b: (N, D) per-frame features (N = B*T).  The (N, N, D)
+    difference tensor the reference materializes never exists here: one
+    (N, D) @ (D, N) MXU matmul + a fused elementwise chain, with a
+    hand-derived backward (see _contrastive_core).
     """
-    a = feat_a / jnp.maximum(jnp.linalg.norm(feat_a, axis=1, keepdims=True), eps)
-    b = feat_b / jnp.maximum(jnp.linalg.norm(feat_b, axis=1, keepdims=True), eps)
-    # ||a_i - b_j||^2 = |a|^2 + |b|^2 - 2 a.b ; rows are unit norm
-    sq = jnp.maximum(2.0 - 2.0 * (a @ b.T), 0.0)
-    dist = jnp.sqrt(sq + 1e-12)
-    sim = 1.0 / (dist + eps)
-    sim = jnp.maximum(sim, eps)
-    logits = sim  # reference feeds similarities directly into cross_entropy
-    labels = jnp.arange(a.shape[0])
-    logz = jax.nn.logsumexp(logits, axis=1)
-    return jnp.mean(logz - jnp.take_along_axis(logits, labels[:, None], 1)[:, 0])
+    a = _normalize_rows(feat_a, eps)
+    b = _normalize_rows(feat_b, eps)
+    return _contrastive_core(a, b)
 
 
 def speaker_kld(mu, logvar):
