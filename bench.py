@@ -48,15 +48,16 @@ def main():
     state = system.init(jax.random.PRNGKey(0), _batch(cfg, 2))
     synth = HierarchySynthesizer(system, state)
 
-    # warmup (compile; same shapes as the timed run)
-    out = synth.generate(audio, words, lang, vids)
-    jax.block_until_ready(out)
+    # fused on-device window loop (one host round trip per batch of clips);
+    # warmup compiles, then best of 3 to damp host/tunnel jitter.
+    # generate_fused returns a fully materialized numpy array, so each timed
+    # call includes the real device->host transfer.
+    out = synth.generate_fused(audio, words, lang, vids)
 
-    # best of 3 to damp host/tunnel jitter
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = synth.generate(audio, words, lang, vids)
+        out = synth.generate_fused(audio, words, lang, vids)
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     total_frames = out.shape[0] * out.shape[1]

@@ -189,9 +189,22 @@ class SlidingWindowSynthesizer:
 
 class HierarchySynthesizer(SlidingWindowSynthesizer):
     """Per-window audio encoder + full level cascade
-    (synthesize_hierarchy.py:127-146)."""
+    (synthesize_hierarchy.py:127-146).
+
+    Besides the generic host window loop, this synthesizer has a FUSED path
+    (`generate_fused`): the whole sliding-window loop — per-window
+    spectrogram slicing, cascade, pre-seq carry, and overlap cross-fade —
+    runs as ONE jitted `lax.scan` on device.  On this TPU every
+    device->host pull costs a ~34 ms tunnel round trip, so the host loop
+    pays that per window; the fused path pays it once per clip batch.
+    """
 
     uses_spec = True
+
+    def __init__(self, system, state):
+        super().__init__(system, state)
+        self._fused_step = jax.jit(self._fused_scan,
+                                   static_argnames=("num_sub", "spec_len"))
 
     def window_step(self, state, inputs, rng):
         cfg = self.cfg
@@ -208,6 +221,77 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                                        inputs["text_w"], blend,
                                        inputs["vids"], cfg.n_pre_poses)
         return outs[-1]
+
+    # ---- fused on-device loop --------------------------------------------
+    def _fused_scan(self, state, full_spec, text_all, s0_all, vids, rng,
+                    num_sub: int, spec_len: int):
+        """full_spec (B, 128, S_padded); text_all (W, B, T); s0_all (W,)
+        -> (B, total_frames, pose_dim) with cross-fade applied."""
+        cfg = self.cfg
+        B = full_spec.shape[0]
+        n = cfg.n_pre_poses
+        T = cfg.n_poses
+
+        def step(carry, xs):
+            tail, w = carry
+            text_w, s0 = xs
+            spec_w = jax.lax.dynamic_slice(
+                full_spec, (0, 0, s0), (B, full_spec.shape[1], spec_len))
+            out = self.window_step(
+                state, {"spec_w": spec_w, "text_w": text_w, "carry": tail,
+                        "vids": vids}, jax.random.fold_in(rng, w))
+            new_tail = out[:, -n:]
+            # overlap cross-fade (synthesize_hierarchy.py:153-162); the
+            # first window keeps its head (tail starts as zeros but w==0
+            # selects the unblended head)
+            j = jnp.arange(n).reshape(1, n, 1)
+            blend = tail * (n - j) / (n + 1) + out[:, :n] * (j + 1) / (n + 1)
+            head = jnp.where(w > 0, blend, out[:, :n])
+            out = jnp.concatenate([head, out[:, n:]], axis=1)
+            return (new_tail, w + 1), out
+
+        init_tail = jnp.zeros((B, n, self.spec.pose_dim))
+        (_, _), ys = jax.lax.scan(step, (init_tail, jnp.int32(0)),
+                                  (text_all, s0_all), length=num_sub)
+        # windows 0..W-2 contribute their first T-n frames; the last all T
+        body = ys[:-1, :, :T - n]                       # (W-1, B, T-n, D)
+        body = jnp.moveaxis(body, 0, 1).reshape(B, -1, ys.shape[-1])
+        return jnp.concatenate([body, ys[-1]], axis=1)
+
+    def generate_fused(self, audio: np.ndarray, words_per_clip, lang: Vocab,
+                       vids: np.ndarray,
+                       rng: Optional[jax.Array] = None) -> np.ndarray:
+        """One-device-call variant of generate() (identical windowing and
+        cross-fade math)."""
+        cfg = self.cfg
+        B, n_samples = audio.shape
+        clip_seconds = n_samples / SR
+        unit_time, stride_time, num_sub = _window_layout(cfg, clip_seconds)
+        spec_len = spectrogram_length_for(cfg.n_poses,
+                                          cfg.motion_resampling_framerate)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        full_spec = jax.vmap(log_mel_spectrogram)(jnp.asarray(audio))
+        S_total = full_spec.shape[2]
+        s0_all = np.asarray(
+            [math.floor(i * stride_time / clip_seconds * S_total)
+             for i in range(num_sub)], np.int32)
+        max_s1 = int(s0_all.max()) + spec_len
+        if max_s1 > S_total:
+            full_spec = jnp.pad(full_spec,
+                                ((0, 0), (0, 0), (0, max_s1 - S_total)),
+                                mode="edge")
+        text_all = np.stack([
+            np.stack([frame_aligned_word_indices(
+                w, i * stride_time, i * stride_time + unit_time,
+                cfg.n_poses, lang) for w in words_per_clip])
+            for i in range(num_sub)])  # (W, B, T)
+
+        out = self._fused_step(self.state, full_spec,
+                               jnp.asarray(text_all), jnp.asarray(s0_all),
+                               jnp.asarray(vids), rng,
+                               num_sub=num_sub, spec_len=spec_len)
+        return np.asarray(out)
 
 
 class MultimodalSynthesizer(SlidingWindowSynthesizer):

@@ -234,6 +234,26 @@ class Trainer:
             step_fn = self._train_step(epoch)
             meters: dict[str, AverageMeter] = {}
             t0, n_samples = time.time(), 0
+            # metric scalars stay ON DEVICE between log points: every
+            # synchronous host pull costs a host<->device round trip (~34 ms
+            # over this TPU's tunnel), which would dominate the 100-300 ms
+            # steps.  Accumulate a lazy device-side sum, materialize at log
+            # points / epoch end.
+            pending = {"sum": None, "n": 0}
+
+            def _drain():
+                if pending["sum"] is None:
+                    return
+                host = jax.device_get(pending["sum"])
+                for k, v in host.items():
+                    meters.setdefault(k, AverageMeter(k)).update(
+                        float(v) / pending["n"], pending["n"])
+                    if self.tb is not None:
+                        self.tb.add_scalar(f"train/{k}",
+                                           float(v) / pending["n"],
+                                           global_iter)
+                pending["sum"], pending["n"] = None, 0
+
             for batch in self.train_loader:
                 if self.profile_dir is not None and global_iter == 3:
                     # trace a few warm steps (JAX profiler -> tensorboard/
@@ -253,18 +273,21 @@ class Trainer:
                         lambda x: x.block_until_ready(), metrics)
                     jax.profiler.stop_trace()
                 n_samples += cfg.batch_size
-                for k, v in metrics.items():
-                    meters.setdefault(k, AverageMeter(k)).update(float(v))
-                    if self.tb is not None:
-                        self.tb.add_scalar(f"train/{k}", float(v),
-                                           global_iter)
+                if pending["sum"] is None:
+                    pending["sum"] = metrics
+                else:
+                    pending["sum"] = jax.tree_util.tree_map(
+                        lambda a, b: a + b, pending["sum"], metrics)
+                pending["n"] += 1
                 if log_every and global_iter % log_every == 0:
+                    _drain()
                     sps = n_samples / max(time.time() - t0, 1e-6)
                     logging.info(
                         f"ep {epoch} it {global_iter}: " +
                         ", ".join(f"{k}: {m.avg:.4f}"
                                   for k, m in meters.items()) +
                         f", {sps:.1f} samples/s")
+            _drain()
             logging.info(
                 f"[TRAIN] epoch {epoch}: " +
                 ", ".join(f"{k}: {m.avg:.4f}" for k, m in meters.items()) +

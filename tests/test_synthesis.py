@@ -102,3 +102,28 @@ def test_polyfit_smooth_preserves_shape():
     out = polyfit_smooth(x, cfg)
     assert out.shape == x.shape
     assert np.isfinite(out).all()
+
+
+def test_fused_hierarchy_matches_host_loop():
+    """The fused lax.scan synthesis path must equal the host window loop."""
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+    from ha2g_tpu.synthesis import HierarchySynthesizer
+    cfg = Config(model="hierarchy", dataset="ted_gesture", pose_dim=27,
+                 n_poses=T, n_pre_poses=4, hidden_size=32, n_layers=2,
+                 z_type="speaker")
+    sys_ = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (2, T))),
+        "spec": jnp.asarray(rng.normal(size=(2, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(rng.normal(size=(2, T, 27)).astype(np.float32)),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (2,))),
+    }
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    synth = HierarchySynthesizer(sys_, state)
+    audio, words, vids = _clip_inputs(seconds=5.0)
+    key = jax.random.PRNGKey(7)
+    host = synth.generate(audio, words, _lang(), vids, rng=key)
+    fused = synth.generate_fused(audio, words, _lang(), vids, rng=key)
+    assert host.shape == fused.shape
+    np.testing.assert_allclose(fused, host, atol=2e-5)
