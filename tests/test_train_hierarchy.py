@@ -97,3 +97,18 @@ def test_z_type_variants(z_type):
         assert "DIV_REG" in metrics and "KLD" not in metrics
     else:
         assert "DIV_REG" not in metrics and "KLD" not in metrics
+
+
+@pytest.mark.parametrize("input_context", ["audio", "text"])
+def test_input_context_variants(input_context):
+    """input_context audio/text drops the other modality from the decoder
+    input (reference hierarchy_net.py:128-137)."""
+    cfg = _tiny_cfg().replace(input_context=input_context,
+                              loss_contrastive_pos_weight=0.0,
+                              loss_contrastive_neg_weight=0.0)
+    sys_ = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    batch = _batch(np.random.default_rng(2))
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    _, metrics = sys_.make_train_step(gan_on=False)(
+        state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
