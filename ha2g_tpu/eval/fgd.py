@@ -132,8 +132,11 @@ class EmbeddingSpaceEvaluator:
     def get_diversity_scores(self, rng: Optional[np.random.Generator] = None
                              ) -> float:
         """Mean L1 between first-500-batches features and a shuffled-batch
-        view (embedding_space_evaluator.py:115-125)."""
-        rng = rng or np.random.default_rng(0)
+        view (embedding_space_evaluator.py:115-125).  Like the reference's
+        fresh torch.randperm, the default rng draws fresh entropy — a fixed
+        seed can permute a small batch list to the identity, collapsing the
+        score to 0."""
+        rng = rng or np.random.default_rng()
         feat1 = np.vstack(self.generated_feat_list[:500])
         idx = rng.permutation(len(self.generated_feat_list))[:500]
         feat2 = np.vstack([self.generated_feat_list[i] for i in idx])
