@@ -290,6 +290,35 @@ def cmd_eval(argv):
     return 0
 
 
+def cmd_import_checkpoint(argv):
+    """Convert a reference torch .bin hierarchy checkpoint into a native
+    checkpoint directory (loadable by synthesize/eval)."""
+    import jax
+    from ha2g_tpu import import_torch as it
+    from ha2g_tpu.checkpoint import save_checkpoint
+    from ha2g_tpu.train.loop import build_system
+
+    p = argparse.ArgumentParser()
+    p.add_argument("bin_path")
+    p.add_argument("out_dir")
+    a = p.parse_args(argv)
+
+    ckpt = it.load_reference_checkpoint(a.bin_path)
+    cfg = it.config_from_reference_args(ckpt["args"])
+    lang = it.vocab_from_pickled(ckpt["lang_model"])
+    speaker = it.vocab_from_pickled(ckpt["speaker_model"])
+    system = build_system(cfg, lang.n_words, max(speaker.n_words, 1),
+                          lang.word_embedding_weights)
+    template = system.init(jax.random.PRNGKey(0), _dummy_batch(cfg))
+    state = it.import_hierarchy_checkpoint(ckpt, template,
+                                           n_layers=cfg.n_layers)
+    save_checkpoint(a.out_dir, state, cfg, lang, speaker,
+                    extra={"epoch": int(ckpt.get("epoch", 0)),
+                           "imported_from": a.bin_path})
+    print(f"imported {a.bin_path} -> {a.out_dir}")
+    return 0
+
+
 def cmd_import_lmdb(argv):
     from ha2g_tpu.data.lmdb_import import import_lmdb
     p = argparse.ArgumentParser()
@@ -305,7 +334,8 @@ def cmd_import_lmdb(argv):
 def main():
     cmds = {"train": cmd_train, "synthesize": cmd_synthesize,
             "from-text": cmd_from_text, "eval": cmd_eval,
-            "import-lmdb": cmd_import_lmdb}
+            "import-lmdb": cmd_import_lmdb,
+            "import-checkpoint": cmd_import_checkpoint}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m ha2g_tpu.cli {{{'|'.join(cmds)}}} ...")
         return 1

@@ -1,0 +1,334 @@
+"""Importer for reference (PyTorch) HA2G checkpoints.
+
+The reference saves `torch.save` dicts holding per-module state dicts plus
+pickled Vocab objects (train.py:232-237: args, epoch, lang_model,
+speaker_model, pose_dim, gen_dict_1..K, dis_dict, audio_dict, text_dict;
+loaders at train_utils.py:169-213).  This module converts those weights
+into ha2g_tpu's flax trees so users can bring released HA2G checkpoints
+across.
+
+Weight-layout conventions handled:
+  Linear  (out, in)        -> kernel (in, out)            transpose
+  Conv1d  (out, in, k)     -> kernel (k, in, out)         transpose(2,1,0)
+  Conv2d  (out, in, kh, kw)-> kernel (kh, kw, in, out)    transpose(2,3,1,0)
+  GRU     weight_ih_l{k}(3H, in) + _reverse -> w_ih_l{k} (2, in, 3H)
+  weight-norm conv: weight_v/weight_g -> v (k, in, out) / g (out,)
+  BatchNorm weight/bias/running_mean/running_var -> scale/bias + mean/var
+  FC heads on folded conv features: torch flattens channel-major, our
+  modules fold channel-major too, so those kernels transpose directly.
+
+Validation: tests/test_import_torch.py builds clean-room torch mirrors of
+the reference architectures, round-trips random weights through this
+importer, and asserts full-model forward equivalence.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from typing import Any
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Loading reference .bin files (pickled Vocab classes need an import shim)
+# ---------------------------------------------------------------------------
+
+class _VocabShim:
+    """Stand-in for the reference's model.vocab.Vocab during unpickling."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+def load_reference_checkpoint(path: str) -> dict:
+    """torch.load a reference checkpoint, shimming its pickled classes."""
+    import torch
+    for mod_name in ("model", "model.vocab", "utils", "utils.vocab_utils"):
+        if mod_name not in sys.modules:
+            sys.modules[mod_name] = types.ModuleType(mod_name)
+    sys.modules["model.vocab"].Vocab = _VocabShim
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                      else t, np.float32)
+
+
+def _strip_module_prefix(sd: dict) -> dict:
+    return {(k[7:] if k.startswith("module.") else k): v
+            for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Primitive converters
+# ---------------------------------------------------------------------------
+
+def _linear(sd, key):
+    return {"kernel": _np(sd[f"{key}.weight"]).T,
+            "bias": _np(sd[f"{key}.bias"])}
+
+
+def _dense(sd, key):
+    """Our common.Dense wraps nn.Dense -> nested Dense_0."""
+    return {"Dense_0": _linear(sd, key)}
+
+
+def _conv1d(sd, key, bias=True):
+    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 1, 0)}
+    if bias:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _conv2d(sd, key, bias=True):
+    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _bn_params(sd, key):
+    return {"BatchNorm_0": {"scale": _np(sd[f"{key}.weight"]),
+                            "bias": _np(sd[f"{key}.bias"])}}
+
+
+def _bn_stats(sd, key):
+    return {"BatchNorm_0": {"mean": _np(sd[f"{key}.running_mean"]),
+                            "var": _np(sd[f"{key}.running_var"])}}
+
+
+def _gru(sd, prefix, n_layers, bidirectional=True):
+    out = {}
+    D = 2 if bidirectional else 1
+    for l in range(n_layers):
+        w_ih, w_hh, b_ih, b_hh = [], [], [], []
+        for d in range(D):
+            sfx = f"_l{l}" + ("_reverse" if d == 1 else "")
+            w_ih.append(_np(sd[f"{prefix}.weight_ih{sfx}"]).T)
+            w_hh.append(_np(sd[f"{prefix}.weight_hh{sfx}"]).T)
+            b_ih.append(_np(sd[f"{prefix}.bias_ih{sfx}"]))
+            b_hh.append(_np(sd[f"{prefix}.bias_hh{sfx}"]))
+        out[f"w_ih_l{l}"] = np.stack(w_ih)
+        out[f"w_hh_l{l}"] = np.stack(w_hh)
+        out[f"b_ih_l{l}"] = np.stack(b_ih)
+        out[f"b_hh_l{l}"] = np.stack(b_hh)
+    return out
+
+
+def _weightnorm_conv(sd, key):
+    v = _np(sd[f"{key}.weight_v"]).transpose(2, 1, 0)  # (k, in, out)
+    g = _np(sd[f"{key}.weight_g"]).reshape(-1)
+    return {"v": v, "g": g, "b": _np(sd[f"{key}.bias"])}
+
+
+# ---------------------------------------------------------------------------
+# Module converters
+# ---------------------------------------------------------------------------
+
+def convert_text_encoder(sd: dict, n_layers: int) -> dict:
+    """Reference TextEncoderTCN (hierarchy_net.py:22-52) -> our
+    TextEncoderTCN params."""
+    sd = _strip_module_prefix(sd)
+    tcn = {}
+    for i in range(n_layers):
+        block = {
+            "WeightNormConv1d_0": _weightnorm_conv(
+                sd, f"tcn.network.{i}.conv1"),
+            "WeightNormConv1d_1": _weightnorm_conv(
+                sd, f"tcn.network.{i}.conv2"),
+        }
+        if f"tcn.network.{i}.downsample.weight" in sd:
+            block["Conv_0"] = _conv1d(sd, f"tcn.network.{i}.downsample")
+        tcn[f"TemporalBlock_{i}"] = block
+    return {
+        "embedding": _np(sd["embedding.weight"]),
+        "TemporalConvNet_0": tcn,
+        "Dense_0": _linear(sd, "decoder"),
+    }
+
+
+def convert_generator(sd: dict, n_layers: int) -> dict:
+    """Reference Hierarchical_PoseGenerator (hierarchy_net.py:55-149) ->
+    HierarchicalPoseGenerator params."""
+    sd = _strip_module_prefix(sd)
+    params = {
+        "TextEncoderTCN_0": convert_text_encoder(
+            {k[len("text_encoder."):]: v for k, v in sd.items()
+             if k.startswith("text_encoder.")}, n_layers),
+        "GRU_0": _gru(sd, "gru", n_layers),
+        "Dense_0": _dense(sd, "out.0"),
+        "Dense_1": _dense(sd, "out.2"),
+    }
+    if "speaker_embedding.0.weight" in sd:
+        params["SpeakerZ_0"] = {
+            "embedding": _np(sd["speaker_embedding.0.weight"]),
+            "Dense_0": _dense(sd, "speaker_embedding.1"),
+            "Dense_1": _dense(sd, "speaker_mu"),
+            "Dense_2": _dense(sd, "speaker_logvar"),
+        }
+    return params
+
+
+def _se_block(sd, key, has_downsample):
+    """SEBasicBlock (ResNetBlocks.py:7-37)."""
+    block_p = {
+        "Conv2d_0": {"Conv_0": _conv2d(sd, f"{key}.conv1", bias=False)},
+        "BatchNorm_0": _bn_params(sd, f"{key}.bn1"),
+        "Conv2d_1": {"Conv_0": _conv2d(sd, f"{key}.conv2", bias=False)},
+        "BatchNorm_1": _bn_params(sd, f"{key}.bn2"),
+        "SELayer_0": {"Dense_0": _dense(sd, f"{key}.se.fc.0"),
+                      "Dense_1": _dense(sd, f"{key}.se.fc.2")},
+    }
+    block_s = {"BatchNorm_0": _bn_stats(sd, f"{key}.bn1"),
+               "BatchNorm_1": _bn_stats(sd, f"{key}.bn2")}
+    if has_downsample:
+        block_p["Conv2d_2"] = {"Conv_0": _conv2d(
+            sd, f"{key}.downsample.0", bias=False)}
+        block_p["BatchNorm_2"] = _bn_params(sd, f"{key}.downsample.1")
+        block_s["BatchNorm_2"] = _bn_stats(sd, f"{key}.downsample.1")
+    return block_p, block_s
+
+
+def convert_audio_encoder(sd: dict, layers=(3, 4, 6, 3)) -> tuple[dict, dict]:
+    """Reference ResNetSE audio_dict (hierarchy_net.py:10-19 wraps
+    ResNetSE34V2.py) -> (params, batch_stats) for HierarchicalWavEncoder."""
+    sd = _strip_module_prefix(sd)
+    if any(k.startswith("feat_extractor.") for k in sd):
+        sd = {k[len("feat_extractor."):]: v for k, v in sd.items()
+              if k.startswith("feat_extractor.")}
+
+    params: dict[str, Any] = {
+        "Conv2d_0": {"Conv_0": _conv2d(sd, "conv1")},
+        "BatchNorm_0": _bn_params(sd, "bn1"),
+    }
+    stats: dict[str, Any] = {"BatchNorm_0": _bn_stats(sd, "bn1")}
+
+    block_idx = 0
+    for stage, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            key = f"layer{stage + 1}.{b}"
+            has_ds = f"{key}.downsample.0.weight" in sd
+            bp, bs = _se_block(sd, key, has_ds)
+            params[f"SEBasicBlock_{block_idx}"] = bp
+            stats[f"SEBasicBlock_{block_idx}"] = bs
+            block_idx += 1
+
+    # taps: conv_low/mid/high + bn + fc (ResNetSE34V2.py:34-44)
+    for i, name in enumerate(("low", "mid", "high")):
+        params[f"Conv2d_{i + 1}"] = {"Conv_0": _conv2d(sd, f"conv_{name}")}
+        params[f"BatchNorm_{i + 1}"] = _bn_params(sd, f"bn_{name}")
+        stats[f"BatchNorm_{i + 1}"] = _bn_stats(sd, f"bn_{name}")
+        params[f"Dense_{i}"] = _dense(sd, f"fc_{name}")
+
+    if "speaker_embedding.0.weight" in sd:
+        params["speaker_embedding"] = _np(sd["speaker_embedding.0.weight"])
+        params["Dense_3"] = _dense(sd, "speaker_embedding.1")
+        params["Dense_4"] = _dense(sd, "fc1")
+        params["Dense_5"] = _dense(sd, "fc2")
+    return {"ResNetSE_0": params}, {"ResNetSE_0": stats}
+
+
+def convert_discriminator(sd: dict) -> tuple[dict, dict]:
+    """Reference Hierarchical_ConvDiscriminator (hierarchy_net.py:197-242)
+    -> ConvDiscriminator (params, batch_stats)."""
+    sd = _strip_module_prefix(sd)
+    params = {
+        "Conv1d_0": {"Conv_0": _conv1d(sd, "pre_conv.0")},
+        "BatchNorm_0": _bn_params(sd, "pre_conv.1"),
+        "Conv1d_1": {"Conv_0": _conv1d(sd, "pre_conv.3")},
+        "BatchNorm_1": _bn_params(sd, "pre_conv.4"),
+        "Conv1d_2": {"Conv_0": _conv1d(sd, "pre_conv.6")},
+        "GRU_0": _gru(sd, "gru", 4),
+        "Dense_0": _dense(sd, "out"),
+        "Dense_1": _dense(sd, "out2"),
+    }
+    stats = {"BatchNorm_0": _bn_stats(sd, "pre_conv.1"),
+             "BatchNorm_1": _bn_stats(sd, "pre_conv.4")}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Full checkpoint import
+# ---------------------------------------------------------------------------
+
+def vocab_from_pickled(obj) -> "Vocab":
+    """Rebuild our Vocab from the reference's pickled Vocab attributes
+    (word2index/index2word/n_words, optional word_embedding_weights)."""
+    from ha2g_tpu.data.vocab import Vocab
+    v = Vocab(getattr(obj, "name", "words"),
+              insert_default_tokens="<SOS>" in getattr(obj, "word2index", {})
+              or 1 in getattr(obj, "index2word", {})
+              and getattr(obj, "index2word", {}).get(1) == "<SOS>")
+    v.word2index = dict(obj.word2index)
+    v.index2word = {int(k): w for k, w in obj.index2word.items()}
+    v.word2count = dict(getattr(obj, "word2count", {}))
+    v.n_words = int(obj.n_words)
+    wev = getattr(obj, "word_embedding_weights", None)
+    if wev is not None:
+        v.word_embedding_weights = np.asarray(wev, np.float32)
+    return v
+
+
+def config_from_reference_args(args_obj) -> "Config":
+    """Reference checkpoints embed their argparse Namespace
+    (train_utils.py:172); map its fields onto our Config."""
+    from ha2g_tpu.config import Config
+    d = dict(vars(args_obj)) if not isinstance(args_obj, dict)         else dict(args_obj)
+    if "model" not in d:
+        d["model"] = "hierarchy"
+    d["dataset"] = "ted_expressive" if d.get("pose_dim") == 126         else "ted_gesture"
+    for k in ("mean_dir_vec", "mean_pose"):
+        if k in d and d[k] is not None:
+            d[k] = list(np.asarray(d[k], np.float32).reshape(-1).astype(float))
+    for k in ("train_data_path", "val_data_path", "test_data_path"):
+        if isinstance(d.get(k), list):
+            d[k] = d[k][0] if d[k] else ""
+    return Config.from_dict(d)
+
+
+def import_hierarchy_checkpoint(ckpt: dict, state, n_layers: int = 4):
+    """Map a reference hierarchy checkpoint dict (train.py:232-243 keys)
+    onto a HierarchyState, returning the new state.  `state` provides the
+    pytree template (from HierarchySystem.init)."""
+    import jax
+
+    n_levels = len(state.params["gens"])
+    gens = tuple(
+        convert_generator(ckpt[f"gen_dict_{l + 1}"], n_layers)
+        for l in range(n_levels))
+    audio_p, audio_s = convert_audio_encoder(ckpt["audio_dict"])
+    dis_p, dis_s = convert_discriminator(ckpt["dis_dict"])
+    text_p = convert_text_encoder(ckpt["text_dict"], n_layers)
+
+    new_params = {"audio": audio_p, "text": text_p, "gens": gens,
+                  "dis": dis_p}
+    new_stats = {"audio": audio_s, "dis": dis_s}
+
+    # structural check against the template, with informative errors
+    def check(template, new, path=""):
+        t_keys = set(template.keys())
+        n_keys = set(new.keys())
+        assert t_keys == n_keys, \
+            f"{path}: template {sorted(t_keys)} vs import {sorted(n_keys)}"
+        for k in t_keys:
+            if isinstance(template[k], dict):
+                check(template[k], new[k], f"{path}/{k}")
+            else:
+                assert template[k].shape == new[k].shape, \
+                    f"{path}/{k}: {template[k].shape} vs {new[k].shape}"
+
+    check(state.params["audio"], audio_p, "audio")
+    check(state.params["text"], text_p, "text")
+    for l in range(n_levels):
+        check(state.params["gens"][l], gens[l], f"g{l + 1}")
+    check(state.params["dis"], dis_p, "dis")
+    check(state.batch_stats["audio"], audio_s, "audio_stats")
+    check(state.batch_stats["dis"], dis_s, "dis_stats")
+
+    as_jnp = lambda tree: jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), tree)
+    return state.replace(params=as_jnp(new_params),
+                         batch_stats=as_jnp(new_stats))

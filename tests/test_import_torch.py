@@ -1,0 +1,193 @@
+"""Reference-checkpoint importer validation: random-weight torch mirrors
+(state-dict key names matching the reference) -> import_torch converters ->
+full forward equivalence against the flax modules."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ha2g_tpu import import_torch as it
+from tests import torch_mirrors as tm
+
+N_WORDS, N_SPK = 11, 5
+HID, NL = 16, 2
+B, T = 2, 34
+
+
+def _randomize_bn(module):
+    """Non-trivial running stats so the stats mapping is actually tested."""
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+
+
+def test_text_encoder_forward_parity():
+    torch.manual_seed(0)
+    tmodel = tm.TorchTextEncoderTCN(N_WORDS, 300, HID, NL).eval()
+    tokens = torch.randint(0, N_WORDS, (B, T))
+    with torch.no_grad():
+        want = tmodel(tokens).numpy()
+
+    from ha2g_tpu.models.tcn import TextEncoderTCN
+    params = it.convert_text_encoder(tmodel.state_dict(), NL)
+    m = TextEncoderTCN(n_words=N_WORDS, embed_dim=300, hidden_size=HID,
+                       n_layers=NL)
+    got = m.apply({"params": params}, jnp.asarray(tokens.numpy()),
+                  deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_generator_forward_parity():
+    torch.manual_seed(1)
+    pose_dim = 15
+    tmodel = tm.TorchHierGenerator(pose_dim, N_WORDS, N_SPK, HID, NL).eval()
+    # freeze the speaker z at mu (std ~ exp(-50) = 0) on both sides
+    with torch.no_grad():
+        tmodel.speaker_logvar.weight.zero_()
+        tmodel.speaker_logvar.bias.fill_(-100.0)
+    pre = torch.randn(B, T, pose_dim + 1) * 0.3
+    tokens = torch.randint(0, N_WORDS, (B, T))
+    audio = torch.randn(B, T, 32) * 0.3
+    vids = torch.randint(0, N_SPK, (B,))
+    with torch.no_grad():
+        want, _, want_mu, _ = tmodel(pre, tokens, audio, vids)
+
+    from ha2g_tpu.models.hierarchy import HierarchicalPoseGenerator
+    params = it.convert_generator(tmodel.state_dict(), NL)
+    m = HierarchicalPoseGenerator(pose_dim=pose_dim, n_words=N_WORDS,
+                                  n_speakers=N_SPK, hidden_size=HID,
+                                  n_layers=NL)
+    out, z, mu, logvar = m.apply(
+        {"params": params}, jnp.asarray(pre.numpy()),
+        jnp.asarray(tokens.numpy()), jnp.asarray(audio.numpy()),
+        jnp.asarray(vids.numpy()), train=False,
+        rngs={"noise": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(mu), want_mu.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), want.numpy(), atol=1e-4)
+
+
+def test_audio_encoder_forward_parity():
+    torch.manual_seed(2)
+    tmodel = tm.TorchResNetSE(N_SPK, pose_level=3).eval()
+    _randomize_bn(tmodel)
+    spec = torch.randn(B, 128, 70)
+    vids = torch.randint(0, N_SPK, (B,))
+    with torch.no_grad():
+        w_t, lo_t, mid_t, hi_t, blends_t = tmodel(spec, vids)
+
+    from ha2g_tpu.models.hierarchy import HierarchicalWavEncoder
+    params, stats = it.convert_audio_encoder(tmodel.state_dict())
+    m = HierarchicalWavEncoder(pose_level=3, n_speakers=N_SPK)
+    w, lo, mid, hi, blend = m.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(spec.numpy()), jnp.asarray(vids.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(w), w_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lo), lo_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mid), mid_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hi), hi_t.numpy(), atol=2e-4)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(blend[i]),
+                                   blends_t[i].numpy(), atol=2e-4)
+
+
+def test_discriminator_forward_parity():
+    torch.manual_seed(3)
+    tmodel = tm.TorchConvDiscriminator(27).eval()
+    _randomize_bn(tmodel)
+    poses = torch.randn(B, T, 27) * 0.3
+    with torch.no_grad():
+        want = tmodel(poses).numpy()
+
+    from ha2g_tpu.models.hierarchy import ConvDiscriminator
+    params, stats = it.convert_discriminator(tmodel.state_dict())
+    m = ConvDiscriminator(slope=0.01)
+    got = m.apply({"params": params, "batch_stats": stats},
+                  jnp.asarray(poses.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_full_checkpoint_roundtrip(tmp_path):
+    """torch.save a reference-format checkpoint dict -> load + import into
+    a HierarchyState -> the full 3-level eval cascade matches the torch
+    mirrors running the reference cascade routing."""
+    torch.manual_seed(4)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+
+    dims = (15, 21, 27)
+    t_gens = []
+    for d in dims:
+        g = tm.TorchHierGenerator(d, N_WORDS, N_SPK, HID, NL).eval()
+        with torch.no_grad():
+            g.speaker_logvar.weight.zero_()
+            g.speaker_logvar.bias.fill_(-100.0)
+        t_gens.append(g)
+    t_audio = tm.TorchResNetSE(N_SPK, pose_level=3).eval()
+    t_dis = tm.TorchConvDiscriminator(27).eval()
+    t_text = tm.TorchTextEncoderTCN(N_WORDS, 300, HID, NL).eval()
+    _randomize_bn(t_audio)
+
+    ckpt = {"args": {"note": "mirror"}, "epoch": 7, "pose_dim": 27,
+            "gen_dict_1": t_gens[0].state_dict(),
+            "gen_dict_2": t_gens[1].state_dict(),
+            "gen_dict_3": t_gens[2].state_dict(),
+            "audio_dict": t_audio.state_dict(),
+            "dis_dict": t_dis.state_dict(),
+            "text_dict": t_text.state_dict()}
+    path = tmp_path / "ref_checkpoint.bin"
+    torch.save(ckpt, path)
+
+    cfg = Config(model="hierarchy", dataset="ted_gesture", pose_dim=27,
+                 n_poses=T, hidden_size=HID, n_layers=NL, z_type="speaker")
+    system = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (B, T))),
+        "spec": jnp.asarray(rng.normal(size=(B, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.normal(size=(B, T, 27)).astype(np.float32) * 0.2),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (B,))),
+    }
+    state = system.init(jax.random.PRNGKey(0), batch)
+    loaded = it.load_reference_checkpoint(str(path))
+    state = it.import_hierarchy_checkpoint(loaded, state, n_layers=NL)
+
+    # ours: full eval cascade
+    outs, targets, *_ = system._forward_cascade(
+        state.params, state.batch_stats, batch, jax.random.PRNGKey(1),
+        train=False)
+
+    # torch: the reference eval cascade routing (train.py:376-415)
+    with torch.no_grad():
+        spec_t = torch.from_numpy(np.asarray(batch["spec"]))
+        vids_t = torch.from_numpy(np.asarray(batch["vids"]))
+        toks_t = torch.from_numpy(np.asarray(batch["text"]))
+        tgt = torch.from_numpy(np.asarray(batch["target"]))
+        _, _, _, _, blends = t_audio(spec_t, vids_t)
+        t1 = torch.cat((tgt[:, :, :12], tgt[:, :, 18:21]), dim=2)
+        t2 = torch.cat((tgt[:, :, :15], tgt[:, :, 18:24]), dim=2)
+
+        def pre(tk, npre=4):
+            ps = torch.zeros(tk.shape[0], tk.shape[1], tk.shape[2] + 1)
+            ps[:, :npre, :-1] = tk[:, :npre]
+            ps[:, :npre, -1] = 1
+            return ps
+
+        p1 = pre(t1)
+        o1, *_ = t_gens[0](p1, toks_t, blends[0], vids_t)
+        p2 = pre(t2)
+        p2[:, 4:, :12] = o1[:, 4:, :12]
+        p2[:, 4:, 15:18] = o1[:, 4:, 12:15]
+        o2, *_ = t_gens[1](p2, toks_t, blends[1], vids_t)
+        p3 = pre(tgt)
+        p3[:, 4:, :15] = o2[:, 4:, :15]
+        p3[:, 4:, 18:24] = o2[:, 4:, 15:21]
+        o3, *_ = t_gens[2](p3, toks_t, blends[2], vids_t)
+
+    np.testing.assert_allclose(np.asarray(outs[0]), o1.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(outs[1]), o2.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(outs[2]), o3.numpy(), atol=5e-4)
