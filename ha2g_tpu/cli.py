@@ -319,6 +319,40 @@ def cmd_import_checkpoint(argv):
     return 0
 
 
+def cmd_import_evalnet(argv):
+    """Convert a reference FGD eval-net checkpoint (.bin) into a native
+    eval_net_path directory: EmbeddingNet 'gen_dict' for pose_dim 27,
+    MotionAE 'motion_ae' for 126 (embedding_space_evaluator.py:27-34)."""
+    import jax
+    from ha2g_tpu import import_torch as it
+    from ha2g_tpu.checkpoint import save_checkpoint
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.loop import build_system
+
+    p = argparse.ArgumentParser()
+    p.add_argument("bin_path")
+    p.add_argument("out_dir")
+    a = p.parse_args(argv)
+
+    ckpt = it.load_reference_checkpoint(a.bin_path)
+    pose_dim = int(ckpt["pose_dim"])
+    if pose_dim == 126:
+        cfg = Config(model="gesture_autoencoder", dataset="ted_expressive",
+                     pose_dim=126, latent_dim=int(ckpt.get("latent_dim", 128)))
+        params, stats = it.convert_motion_ae(ckpt["motion_ae"])
+    else:
+        cfg = Config(model="gesture_autoencoder", dataset="ted_gesture",
+                     pose_dim=pose_dim)
+        params, stats = it.convert_embedding_net_pose(ckpt["gen_dict"])
+    system = build_system(cfg, 4, 1)
+    template = system.init(jax.random.PRNGKey(0), _dummy_batch(cfg))
+    state = template.replace(params=params, batch_stats=stats)
+    save_checkpoint(a.out_dir, state, cfg,
+                    extra={"imported_from": a.bin_path})
+    print(f"imported eval net {a.bin_path} -> {a.out_dir}")
+    return 0
+
+
 def cmd_import_lmdb(argv):
     from ha2g_tpu.data.lmdb_import import import_lmdb
     p = argparse.ArgumentParser()
@@ -335,7 +369,8 @@ def main():
     cmds = {"train": cmd_train, "synthesize": cmd_synthesize,
             "from-text": cmd_from_text, "eval": cmd_eval,
             "import-lmdb": cmd_import_lmdb,
-            "import-checkpoint": cmd_import_checkpoint}
+            "import-checkpoint": cmd_import_checkpoint,
+            "import-evalnet": cmd_import_evalnet}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m ha2g_tpu.cli {{{'|'.join(cmds)}}} ...")
         return 1

@@ -250,6 +250,85 @@ def convert_discriminator(sd: dict) -> tuple[dict, dict]:
     return params, stats
 
 
+def _convT1d(sd, key):
+    """torch ConvTranspose1d weight (in, out, k) -> flax (k, in, out).
+
+    torch's transposed conv is the true conv gradient (spatially flipped
+    kernel); flax ConvTranspose is a fractionally-strided conv without the
+    flip, so the spatial axis is reversed on import."""
+    w = _np(sd[f"{key}.weight"]).transpose(2, 0, 1)[::-1]
+    return {"kernel": np.ascontiguousarray(w),
+            "bias": _np(sd[f"{key}.bias"])}
+
+
+def _cnr(sd, key):
+    """ConvNormRelu Sequential(conv, bn, lrelu) (embedding_net.py:16-39)."""
+    p = {"Conv1d_0": {"Conv_0": _conv1d(sd, f"{key}.0")},
+         "BatchNorm_0": _bn_params(sd, f"{key}.1")}
+    s = {"BatchNorm_0": _bn_stats(sd, f"{key}.1")}
+    return p, s
+
+
+def convert_pose_encoder(sd: dict, prefix="pose_encoder"):
+    """Reference PoseEncoderConv (embedding_net.py:42-82) ->
+    (params, batch_stats) for our PoseEncoderConv."""
+    p, s = {}, {}
+    for i in range(3):
+        bp, bs = _cnr(sd, f"{prefix}.net.{i}")
+        p[f"ConvNormRelu1d_{i}"] = bp
+        s[f"ConvNormRelu1d_{i}"] = bs
+    p["Conv1d_0"] = {"Conv_0": _conv1d(sd, f"{prefix}.net.3")}
+    p["Dense_0"] = _dense(sd, f"{prefix}.out_net.0")
+    p["BatchNorm_0"] = _bn_params(sd, f"{prefix}.out_net.1")
+    s["BatchNorm_0"] = _bn_stats(sd, f"{prefix}.out_net.1")
+    p["Dense_1"] = _dense(sd, f"{prefix}.out_net.3")
+    p["BatchNorm_1"] = _bn_params(sd, f"{prefix}.out_net.4")
+    s["BatchNorm_1"] = _bn_stats(sd, f"{prefix}.out_net.4")
+    p["Dense_2"] = _dense(sd, f"{prefix}.out_net.6")
+    if f"{prefix}.fc_mu.weight" in sd:  # MotionAE's encoder has no heads
+        p["Dense_3"] = _dense(sd, f"{prefix}.fc_mu")
+        p["Dense_4"] = _dense(sd, f"{prefix}.fc_logvar")
+    return p, s
+
+
+def convert_pose_decoder(sd: dict, prefix="decoder"):
+    """Reference PoseDecoderConv (embedding_net.py:165-217) ->
+    (params, batch_stats) for our PoseDecoderConv/MotionDecoderConv."""
+    p = {"Dense_0": _dense(sd, f"{prefix}.pre_net.0"),
+         "BatchNorm_0": _bn_params(sd, f"{prefix}.pre_net.1"),
+         "Dense_1": _dense(sd, f"{prefix}.pre_net.3"),
+         "ConvTranspose_0": _convT1d(sd, f"{prefix}.net.0"),
+         "BatchNorm_1": _bn_params(sd, f"{prefix}.net.1"),
+         "ConvTranspose_1": _convT1d(sd, f"{prefix}.net.3"),
+         "BatchNorm_2": _bn_params(sd, f"{prefix}.net.4"),
+         "Conv1d_0": {"Conv_0": _conv1d(sd, f"{prefix}.net.6")},
+         "Conv1d_1": {"Conv_0": _conv1d(sd, f"{prefix}.net.7")}}
+    s = {"BatchNorm_0": _bn_stats(sd, f"{prefix}.pre_net.1"),
+         "BatchNorm_1": _bn_stats(sd, f"{prefix}.net.1"),
+         "BatchNorm_2": _bn_stats(sd, f"{prefix}.net.4")}
+    return p, s
+
+
+def convert_embedding_net_pose(sd: dict) -> tuple[dict, dict]:
+    """Reference EmbeddingNet(mode='pose') gen_dict — the TED-Gesture FGD
+    embedder (embedding_space_evaluator.py:27-30)."""
+    sd = _strip_module_prefix(sd)
+    enc_p, enc_s = convert_pose_encoder(sd)
+    dec_p, dec_s = convert_pose_decoder(sd)
+    return ({"PoseEncoderConv_0": enc_p, "PoseDecoderConv_0": dec_p},
+            {"PoseEncoderConv_0": enc_s, "PoseDecoderConv_0": dec_s})
+
+
+def convert_motion_ae(sd: dict) -> tuple[dict, dict]:
+    """Reference MotionAE motion_ae dict — the TED Expressive FGD embedder
+    (embedding_space_evaluator.py:31-34; motion_ae.py:118-130)."""
+    sd = _strip_module_prefix(sd)
+    enc_p, enc_s = convert_pose_encoder(sd, prefix="encoder")
+    dec_p, dec_s = convert_pose_decoder(sd, prefix="decoder")
+    return ({"MotionEncoderConv_0": enc_p, "MotionDecoderConv_0": dec_p},
+            {"MotionEncoderConv_0": enc_s, "MotionDecoderConv_0": dec_s})
+
+
 # ---------------------------------------------------------------------------
 # Full checkpoint import
 # ---------------------------------------------------------------------------

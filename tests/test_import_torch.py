@@ -191,3 +191,45 @@ def test_full_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(outs[0]), o1.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(outs[1]), o2.numpy(), atol=3e-4)
     np.testing.assert_allclose(np.asarray(outs[2]), o3.numpy(), atol=5e-4)
+
+
+def test_embedding_net_pose_import_parity():
+    """FGD-embedder import: features and reconstructions must match, so FGD
+    computed with an imported eval net is comparable to the reference's."""
+    torch.manual_seed(5)
+    tmodel = tm.TorchEmbeddingNetPose(27).eval()
+    _randomize_bn(tmodel)
+    poses = torch.randn(B, 34, 27) * 0.3
+    with torch.no_grad():
+        want_recon, want_z = tmodel(poses)
+
+    from ha2g_tpu import import_torch as it2
+    from ha2g_tpu.models.embedding_net import EmbeddingNet
+    params, stats = it2.convert_embedding_net_pose(tmodel.state_dict())
+    m = EmbeddingNet(pose_dim=27, n_frames=34, mode="pose")
+    (_, _, _, feat, mu, _, recon) = m.apply(
+        {"params": params, "batch_stats": stats}, None, None, None,
+        jnp.asarray(poses.numpy()), input_mode="pose",
+        variational_encoding=False, train=False)
+    np.testing.assert_allclose(np.asarray(feat), want_z.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon), want_recon.numpy(),
+                               atol=2e-4)
+
+
+def test_motion_ae_import_parity():
+    torch.manual_seed(6)
+    tmodel = tm.TorchMotionAE(126, 128).eval()
+    _randomize_bn(tmodel)
+    poses = torch.randn(B, 34, 126) * 0.3
+    with torch.no_grad():
+        want_recon, want_z = tmodel(poses)
+
+    from ha2g_tpu import import_torch as it2
+    from ha2g_tpu.models.motion_ae import MotionAE
+    params, stats = it2.convert_motion_ae(tmodel.state_dict())
+    m = MotionAE(pose_dim=126, latent_dim=128)
+    recon, z = m.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(poses.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(z), want_z.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon), want_recon.numpy(),
+                               atol=2e-4)

@@ -207,3 +207,79 @@ class TorchConvDiscriminator(nn.Module):
         out = out[:, :, :self.hidden_size] + out[:, :, self.hidden_size:]
         out = self.out(out).squeeze(-1)
         return torch.sigmoid(self.out2(out))
+
+
+class TorchPoseEncoderConv(nn.Module):
+    """Key names match reference PoseEncoderConv (embedding_net.py:42-82);
+    with_heads=False gives MotionAE's encoder (motion_ae.py:33-62)."""
+
+    def __init__(self, pose_dim, latent=32, with_heads=True):
+        super().__init__()
+        def cnr(i, o, k=3, s=1):
+            return nn.Sequential(nn.Conv1d(i, o, k, s), nn.BatchNorm1d(o),
+                                 nn.LeakyReLU(0.2))
+        self.net = nn.Sequential(cnr(pose_dim, 32), cnr(32, 64),
+                                 cnr(64, 64, 4, 2), nn.Conv1d(64, 32, 3))
+        self.out_net = nn.Sequential(
+            nn.Linear(384, 256), nn.BatchNorm1d(256), nn.LeakyReLU(1.0),
+            nn.Linear(256, 128), nn.BatchNorm1d(128), nn.LeakyReLU(1.0),
+            nn.Linear(128, latent))
+        self.with_heads = with_heads
+        if with_heads:
+            self.fc_mu = nn.Linear(latent, latent)
+            self.fc_logvar = nn.Linear(latent, latent)
+
+    def forward(self, poses):
+        x = self.net(poses.transpose(1, 2)).flatten(1)
+        x = self.out_net(x)
+        if self.with_heads:
+            return self.fc_mu(x)  # z = mu (variational off)
+        return x
+
+
+class TorchPoseDecoderConv(nn.Module):
+    """Key names match reference PoseDecoderConv (embedding_net.py:165-217,
+    34-frame branch)."""
+
+    def __init__(self, pose_dim, latent=32):
+        super().__init__()
+        self.pre_net = nn.Sequential(nn.Linear(latent, 64),
+                                     nn.BatchNorm1d(64), nn.LeakyReLU(1.0),
+                                     nn.Linear(64, 136))
+        self.net = nn.Sequential(
+            nn.ConvTranspose1d(4, 32, 3), nn.BatchNorm1d(32),
+            nn.LeakyReLU(0.2),
+            nn.ConvTranspose1d(32, 32, 3), nn.BatchNorm1d(32),
+            nn.LeakyReLU(0.2),
+            nn.Conv1d(32, 32, 3), nn.Conv1d(32, pose_dim, 3))
+
+    def forward(self, feat):
+        x = self.pre_net(feat).view(feat.shape[0], 4, -1)
+        return self.net(x).transpose(1, 2)
+
+
+class TorchEmbeddingNetPose(nn.Module):
+    """Key names match reference EmbeddingNet(mode='pose')."""
+
+    def __init__(self, pose_dim):
+        super().__init__()
+        self.pose_encoder = TorchPoseEncoderConv(pose_dim)
+        self.decoder = TorchPoseDecoderConv(pose_dim)
+
+    def forward(self, poses):
+        z = self.pose_encoder(poses)
+        return self.decoder(z), z
+
+
+class TorchMotionAE(nn.Module):
+    """Key names match reference MotionAE (motion_ae.py:118-130)."""
+
+    def __init__(self, pose_dim, latent=128):
+        super().__init__()
+        self.encoder = TorchPoseEncoderConv(pose_dim, latent,
+                                            with_heads=False)
+        self.decoder = TorchPoseDecoderConv(pose_dim, latent)
+
+    def forward(self, poses):
+        z = self.encoder(poses)
+        return self.decoder(z), z
