@@ -172,6 +172,46 @@ def convert_generator(sd: dict, n_layers: int) -> dict:
     return params
 
 
+def convert_wav_encoder(sd: dict, prefix="audio_encoder"):
+    """Reference raw-waveform WavEncoder (multimodal_context_net.py:9-28):
+    4 strided Conv1d (+BN on the first three) -> (params, batch_stats)."""
+    p, s = {}, {}
+    conv_slots = (0, 3, 6, 9)   # Sequential indices of the convs
+    bn_slots = (1, 4, 7)        # BatchNorm1d after the first three convs
+    for i, slot in enumerate(conv_slots):
+        p[f"Conv1d_{i}"] = {"Conv_0": _conv1d(
+            sd, f"{prefix}.feat_extractor.{slot}")}
+    for i, slot in enumerate(bn_slots):
+        p[f"BatchNorm_{i}"] = _bn_params(sd, f"{prefix}.feat_extractor.{slot}")
+        s[f"BatchNorm_{i}"] = _bn_stats(sd, f"{prefix}.feat_extractor.{slot}")
+    return p, s
+
+
+def convert_multimodal_generator(sd: dict, n_layers: int
+                                 ) -> tuple[dict, dict]:
+    """Reference multimodal-context PoseGenerator
+    (multimodal_context_net.py:64-160) -> (params, batch_stats)."""
+    sd = _strip_module_prefix(sd)
+    wav_p, wav_s = convert_wav_encoder(sd)
+    params = {
+        "WavEncoder_0": wav_p,
+        "TextEncoderTCN_0": convert_text_encoder(
+            {k[len("text_encoder."):]: v for k, v in sd.items()
+             if k.startswith("text_encoder.")}, n_layers),
+        "GRU_0": _gru(sd, "gru", n_layers),
+        "Dense_0": _dense(sd, "out.0"),
+        "Dense_1": _dense(sd, "out.2"),
+    }
+    if "speaker_embedding.0.weight" in sd:
+        params["SpeakerZ_0"] = {
+            "embedding": _np(sd["speaker_embedding.0.weight"]),
+            "Dense_0": _dense(sd, "speaker_embedding.1"),
+            "Dense_1": _dense(sd, "speaker_mu"),
+            "Dense_2": _dense(sd, "speaker_logvar"),
+        }
+    return params, {"WavEncoder_0": wav_s}
+
+
 def _se_block(sd, key, has_downsample):
     """SEBasicBlock (ResNetBlocks.py:7-37)."""
     block_p = {

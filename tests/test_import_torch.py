@@ -233,3 +233,31 @@ def test_motion_ae_import_parity():
     np.testing.assert_allclose(np.asarray(z), want_z.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(recon), want_recon.numpy(),
                                atol=2e-4)
+
+
+def test_multimodal_generator_import_parity():
+    torch.manual_seed(7)
+    pose_dim = 27
+    tmodel = tm.TorchMultimodalGenerator(pose_dim, N_WORDS, N_SPK, HID,
+                                         NL).eval()
+    _randomize_bn(tmodel)
+    with torch.no_grad():
+        tmodel.speaker_logvar.weight.zero_()
+        tmodel.speaker_logvar.bias.fill_(-100.0)
+    pre = torch.randn(B, T, pose_dim + 1) * 0.3
+    tokens = torch.randint(0, N_WORDS, (B, T))
+    wav = torch.randn(B, int(round(T / 15 * 16000))) * 0.1
+    vids = torch.randint(0, N_SPK, (B,))
+    with torch.no_grad():
+        want, *_ = tmodel(pre, tokens, wav, vids)
+
+    from ha2g_tpu import import_torch as it2
+    from ha2g_tpu.models.multimodal_context import PoseGenerator
+    params, stats = it2.convert_multimodal_generator(tmodel.state_dict(), NL)
+    m = PoseGenerator(pose_dim=pose_dim, n_words=N_WORDS, n_speakers=N_SPK,
+                      hidden_size=HID, n_layers=NL)
+    out, *_ = m.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(pre.numpy()), jnp.asarray(tokens.numpy()),
+                      jnp.asarray(wav.numpy()), jnp.asarray(vids.numpy()),
+                      train=False, rngs={"noise": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(out), want.numpy(), atol=2e-4)

@@ -283,3 +283,56 @@ class TorchMotionAE(nn.Module):
     def forward(self, poses):
         z = self.encoder(poses)
         return self.decoder(z), z
+
+
+class TorchWavEncoder(nn.Module):
+    """Key names match reference WavEncoder (multimodal_context_net.py:9-28)."""
+
+    def __init__(self):
+        super().__init__()
+        self.feat_extractor = nn.Sequential(
+            nn.Conv1d(1, 16, 15, stride=5, padding=1600),
+            nn.BatchNorm1d(16), nn.LeakyReLU(0.3),
+            nn.Conv1d(16, 32, 15, stride=6),
+            nn.BatchNorm1d(32), nn.LeakyReLU(0.3),
+            nn.Conv1d(32, 64, 15, stride=6),
+            nn.BatchNorm1d(64), nn.LeakyReLU(0.3),
+            nn.Conv1d(64, 32, 15, stride=6))
+
+    def forward(self, wav):
+        return self.feat_extractor(wav.unsqueeze(1)).transpose(1, 2)
+
+
+class TorchMultimodalGenerator(nn.Module):
+    """Key names match reference multimodal PoseGenerator
+    (multimodal_context_net.py:64-160)."""
+
+    def __init__(self, pose_dim, n_words, n_speakers, hidden=16, n_layers=2):
+        super().__init__()
+        self.hidden_size = hidden
+        self.audio_encoder = TorchWavEncoder()
+        self.text_encoder = TorchTextEncoderTCN(n_words, 300, hidden,
+                                                n_layers)
+        self.speaker_embedding = nn.Sequential(nn.Embedding(n_speakers, 16),
+                                               nn.Linear(16, 16))
+        self.speaker_mu = nn.Linear(16, 16)
+        self.speaker_logvar = nn.Linear(16, 16)
+        in_size = 32 + 32 + pose_dim + 1 + 16
+        self.gru = nn.GRU(in_size, hidden, n_layers, batch_first=True,
+                          bidirectional=True)
+        self.out = nn.Sequential(nn.Linear(hidden, hidden // 2),
+                                 nn.LeakyReLU(1.0),  # LeakyReLU(True) quirk
+                                 nn.Linear(hidden // 2, pose_dim))
+
+    def forward(self, pre_seq, tokens, wav, vids):
+        audio_feat = self.audio_encoder(wav)
+        text_feat = self.text_encoder(tokens)
+        z = self.speaker_embedding(vids)
+        mu = self.speaker_mu(z)
+        logvar = self.speaker_logvar(z)
+        z = mu + torch.randn_like(mu) * torch.exp(0.5 * logvar)
+        x = torch.cat([pre_seq, audio_feat, text_feat,
+                       z.unsqueeze(1).repeat(1, pre_seq.shape[1], 1)], dim=2)
+        out, _ = self.gru(x)
+        out = out[:, :, :self.hidden_size] + out[:, :, self.hidden_size:]
+        return self.out(out), z, mu, logvar
