@@ -193,6 +193,9 @@ def cmd_synthesize(argv):
     p.add_argument("--n", type=int, default=4)
     p.add_argument("--out", default="synthesis_out.npz")
     p.add_argument("--fade_out", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="hierarchy only: run the whole window loop as one "
+                        "on-device lax.scan")
     p.add_argument("--render", action="store_true",
                    help="also render a skeleton video per clip")
     a = p.parse_args(argv)
@@ -207,7 +210,10 @@ def cmd_synthesize(argv):
     words = [c["words"] for c in clips]
     vids = np.asarray([speaker.get_word_index(c["vid"]) for c in clips],
                       np.int32)
-    out = synth.generate(audio, words, lang, vids, fade_out=a.fade_out)
+    if a.fused and hasattr(synth, "generate_fused"):
+        out = synth.generate_fused(audio, words, lang, vids)
+    else:
+        out = synth.generate(audio, words, lang, vids, fade_out=a.fade_out)
     np.savez(a.out, dir_vec=out, audio=audio)
     print(f"wrote {a.out}: {out.shape}")
     if a.render:

@@ -27,9 +27,6 @@ would no longer fit alongside activations.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -134,7 +131,8 @@ def _bwd_db_kernel(a_ref, b_ref, logz_ref, g_ref, db_ref, acc):
         db_ref[:] = acc[:]
 
 
-def _supported(n: int, d: int) -> bool:
+def supported(n: int, d: int) -> bool:
+    """Whether the kernel's tiling covers this problem size."""
     return n % TILE == 0 and d <= 512
 
 

@@ -66,3 +66,27 @@ def test_native_filter_rejects_static():
                                          34, 42, 10,
                                          disable_filtering=True)
     assert len(t2) > 0
+
+
+def test_window_clips_native_equals_numpy():
+    """Pipeline-level equality: window_clips with and without the C++
+    engine must emit identical samples."""
+    from ha2g_tpu.data import Vocab, build_vocab, window_clips
+    spec = TED_GESTURE
+    clips = synthetic_clips(spec, n_clips=3, clip_seconds=8.0, seed=7)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    mdv = default_mean_dir_vec(spec)
+    mp = np.zeros(spec.n_joints * 3, np.float32)
+    kw = dict(spec=spec, lang=lang, speaker=speaker, mean_pose=mp,
+              mean_dir_vec=mdv)
+    a = window_clips(clips, use_native=True, **kw)
+    b = window_clips(clips, use_native=False, **kw)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.target, b.target, atol=2e-5)
+    np.testing.assert_array_equal(a.text, b.text)
+    np.testing.assert_array_equal(a.word_seq, b.word_seq)
+    np.testing.assert_allclose(a.audio, b.audio)
+    np.testing.assert_allclose(a.spec, b.spec)
