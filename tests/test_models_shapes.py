@@ -182,3 +182,34 @@ def test_masked_bigru_matches_torch_packed():
                        jnp.asarray(lengths))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_n), h_p.numpy(), atol=1e-5)
+
+
+def test_gru_discriminator_shape():
+    from ha2g_tpu.models.hierarchy import GRUDiscriminator
+    m = GRUDiscriminator(hidden_size=16, n_layers=2, n_poses=T,
+                         n_words=N_WORDS)
+    poses = jnp.zeros((B, T, 27))
+    tokens = jnp.zeros((B, T), jnp.int32)
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, poses, tokens)
+    out = m.apply(vars_, poses, tokens)
+    assert out.shape == (B, 1)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) <= 1))
+
+
+def test_pose_decoder_fc_shape():
+    from ha2g_tpu.models.embedding_net import PoseDecoderFC
+    m = PoseDecoderFC(pose_dim=27, gen_length=30, use_pre_poses=True)
+    latent = jnp.zeros((B, 32))
+    pre = jnp.zeros((B, 4, 27))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, latent, pre)
+    out = m.apply(vars_, latent, pre)
+    assert out.shape == (B, 30, 27)
+
+
+def test_se_bottleneck_shape():
+    from ha2g_tpu.models.resnet_se import SEBottleneck
+    m = SEBottleneck(planes=8, stride=2)
+    x = jnp.zeros((B, 16, 12, 4))
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(vars_, x)
+    assert out.shape == (B, 8, 6, 32)
