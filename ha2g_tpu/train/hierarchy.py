@@ -4,7 +4,8 @@ Rebuild of the reference iteration train_iter_hierarchy
 (scripts/train_eval/train_hierarchy.py:71-293) and its 6-level expressive
 twin (train_hierarchy_expressive.py:124-484), parameterized by SkeletonSpec.
 
-Structure of one training step (one jitted function, donated state):
+Structure of one training step (one jitted function; pass donate=True to
+make_train_step for buffer donation in long runs):
 
   1. D phase (epochs past loss_warmup, a STATIC flag -> two compiled
      variants, mirroring the reference's python gate at :93):
