@@ -71,7 +71,11 @@ def _prepare(cfg):
                 _h36m_samples(cfg, False))
 
     train_clips = _load_split(cfg.train_data_path, cfg, 0)
-    val_clips = _load_split(cfg.val_data_path, cfg, 1)
+    # the reference driver validates on the TEST loader each epoch
+    # (train.py:652-724 passes test_loader to train_epochs); prefer
+    # test_data_path for the eval split when it is set
+    eval_path = cfg.test_data_path or cfg.val_data_path
+    val_clips = _load_split(eval_path, cfg, 1)
 
     lang = build_vocab("words", [train_clips, val_clips])
     if cfg.wordembed_path and Path(cfg.wordembed_path).exists():

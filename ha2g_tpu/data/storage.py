@@ -55,3 +55,14 @@ def load_clips(path: str | Path) -> list[dict]:
             if m["has_spec"] else None,
         })
     return clips
+
+
+def merge_clips(src_dirs, out_dir) -> int:
+    """Concatenate multiple clip stores into one (the reference's
+    dataset_script/script/merge_dataset.py multi-shard merge).  Returns the
+    total clip count."""
+    clips = []
+    for d in src_dirs:
+        clips.extend(load_clips(d))
+    save_clips(out_dir, clips)
+    return len(clips)

@@ -75,3 +75,17 @@ def test_vocab_roundtrip(tmp_path, gesture_samples):
     assert lang2.n_words == lang.n_words
     assert lang2.get_word_index("the") == lang.get_word_index("the")
     assert lang2.get_word_index("zzz_unknown") == Vocab.UNK_token
+
+
+def test_merge_clips(tmp_path):
+    from ha2g_tpu.data.storage import load_clips, merge_clips, save_clips
+    a = synthetic_clips(TED_GESTURE, n_clips=2, clip_seconds=4.0, seed=1)
+    b = synthetic_clips(TED_GESTURE, n_clips=3, clip_seconds=4.0, seed=2)
+    save_clips(tmp_path / "a", a)
+    save_clips(tmp_path / "b", b)
+    n = merge_clips([tmp_path / "a", tmp_path / "b"], tmp_path / "merged")
+    assert n == 5
+    merged = load_clips(tmp_path / "merged")
+    assert len(merged) == 5
+    np.testing.assert_allclose(merged[0]["skeletons_3d"], a[0]["skeletons_3d"])
+    np.testing.assert_allclose(merged[2]["skeletons_3d"], b[0]["skeletons_3d"])
