@@ -375,7 +375,21 @@ def cmd_import_lmdb(argv):
     return 0
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the flagship train step takes
+    minutes to compile on this host; caching makes repeat CLI invocations
+    (smoke runs, eval, synthesis) start in seconds."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/ha2g_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main():
+    _enable_compilation_cache()
     cmds = {"train": cmd_train, "synthesize": cmd_synthesize,
             "from-text": cmd_from_text, "eval": cmd_eval,
             "import-lmdb": cmd_import_lmdb,
