@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     from __graft_entry__ import _make_system
     from ha2g_tpu.data.vocab import Vocab
     from ha2g_tpu.synthesis import HierarchySynthesizer
