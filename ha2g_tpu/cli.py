@@ -127,12 +127,9 @@ def _make_evaluator(cfg, lang):
              "vids": jnp.zeros((2,), jnp.int32)}
     template = sys_.init(jax.random.PRNGKey(0), dummy)
     state = ckpt.load_state(cfg.eval_net_path, template)
-    if ev_cfg.pose_dim == 126:
-        params, stats = state.params, state.batch_stats
-    else:
-        params, stats = state.params, state.batch_stats
-    return EmbeddingSpaceEvaluator(ev_cfg.pose_dim, ev_cfg.n_poses, params,
-                                   stats, latent_dim=ev_cfg.latent_dim)
+    return EmbeddingSpaceEvaluator(ev_cfg.pose_dim, ev_cfg.n_poses,
+                                   state.params, state.batch_stats,
+                                   latent_dim=ev_cfg.latent_dim)
 
 
 def cmd_train(argv):

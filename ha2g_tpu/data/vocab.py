@@ -95,17 +95,21 @@ class Vocab:
     def to_dict(self) -> dict:
         return {"name": self.name,
                 "insert_default_tokens": self.insert_default_tokens,
-                "index2word": {str(k): v for k, v in self.index2word.items()}}
+                "index2word": {str(k): v for k, v in self.index2word.items()},
+                "word2count": self.word2count}
 
     @classmethod
     def from_dict(cls, d: dict) -> "Vocab":
         v = cls(d["name"], d["insert_default_tokens"])
+        counts = d.get("word2count", {})
         items = sorted(((int(k), w) for k, w in d["index2word"].items()))
         for idx, word in items:
             if idx >= v.n_words:
                 v.word2index[word] = idx
                 v.index2word[idx] = word
-                v.word2count[word] = 1
+                # preserve counts so Vocab.trimmed workflows survive a
+                # save/load round trip (older files lack them; default 1)
+                v.word2count[word] = int(counts.get(word, 1))
                 v.n_words = idx + 1
         return v
 

@@ -75,9 +75,13 @@ class Trainer:
         sharding = batch_sharding(self.mesh) if self.mesh else None
         self.train_loader = BatchLoader(train_samples, cfg.batch_size,
                                         shuffle=True, sharding=sharding)
-        self.val_loader = BatchLoader(val_samples, cfg.batch_size,
-                                      shuffle=False, drop_last=False,
-                                      sharding=None)
+        # Drop the odd-sized remainder batch (as the reference's val loader
+        # effectively does) so eval_step compiles exactly once per run; a
+        # second batch shape costs a fresh XLA compile every epoch.  When the
+        # val set is smaller than one batch there is only one shape anyway.
+        self.val_loader = BatchLoader(
+            val_samples, cfg.batch_size, shuffle=False,
+            drop_last=len(val_samples) >= cfg.batch_size, sharding=None)
         self.rng = jax.random.PRNGKey(max(cfg.random_seed, 0))
         self.best_values: dict[str, tuple[float, int]] = {}
         self._steps: dict = {}

@@ -75,6 +75,8 @@ def test_vocab_roundtrip(tmp_path, gesture_samples):
     assert lang2.n_words == lang.n_words
     assert lang2.get_word_index("the") == lang.get_word_index("the")
     assert lang2.get_word_index("zzz_unknown") == Vocab.UNK_token
+    # counts survive the round trip (Vocab.trimmed depends on them)
+    assert lang2.word2count == lang.word2count
 
 
 def test_merge_clips(tmp_path):
