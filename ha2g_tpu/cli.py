@@ -372,6 +372,61 @@ def cmd_import_lmdb(argv):
     return 0
 
 
+def cmd_parse_reference_log(argv):
+    """Parse a reference training log (training_logs/*.log) into a
+    structured baseline JSON for the golden-trajectory harness
+    (eval/trajectory.py)."""
+    import json
+    from ha2g_tpu.eval.trajectory import parse_reference_log
+
+    p = argparse.ArgumentParser()
+    p.add_argument("log_path")
+    p.add_argument("--out", default=None,
+                   help="output JSON (default: ha2g_tpu/baselines/<stem>.json)")
+    a = p.parse_args(argv)
+    traj = parse_reference_log(a.log_path)
+    out = Path(a.out) if a.out else (
+        Path(__file__).resolve().parent / "baselines" / f"{traj.name}.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(traj.to_json(), indent=1))
+    print(f"parsed {len(traj.val)} val epochs, {len(traj.train)} train lines"
+          f" -> {out}")
+    print("best:", {k: v for k, v in traj.best.items()})
+    return 0
+
+
+def cmd_compare_trajectory(argv):
+    """Compare a run's history.jsonl against a reference trajectory —
+    a committed baseline name (e.g. ted_gesture_new) or a raw reference
+    log path.  The golden-trajectory regression harness (SURVEY.md §7
+    step 9; reference anchor: training_logs/ted_gesture_new.log:859)."""
+    import json
+    from ha2g_tpu.eval import trajectory as tj
+
+    p = argparse.ArgumentParser()
+    p.add_argument("history", help="history.jsonl from a Trainer run "
+                   "(written next to the checkpoints)")
+    p.add_argument("--ref", default="ted_gesture_new",
+                   help="baseline name or reference log path")
+    p.add_argument("--keys", default="frechet,joint_mae,diversity,"
+                   "feat_dist,loss")
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="also write the report as JSON")
+    a = p.parse_args(argv)
+
+    ref = (tj.parse_reference_log(a.ref) if Path(a.ref).exists()
+           else tj.load_baseline(a.ref))
+    ours = tj.load_history_jsonl(a.history)
+    report = tj.compare_trajectories(ref, ours,
+                                     keys=tuple(a.keys.split(",")))
+    print(tj.format_report(report))
+    if a.json_out:
+        Path(a.json_out).write_text(json.dumps(report, indent=1))
+    behind = [k for k, e in report["metrics"].items()
+              if e["verdict"] == "BEHIND"]
+    return 1 if behind else 0
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the flagship train step takes
     minutes to compile on this host; caching makes repeat CLI invocations
@@ -391,7 +446,9 @@ def main():
             "from-text": cmd_from_text, "eval": cmd_eval,
             "import-lmdb": cmd_import_lmdb,
             "import-checkpoint": cmd_import_checkpoint,
-            "import-evalnet": cmd_import_evalnet}
+            "import-evalnet": cmd_import_evalnet,
+            "parse-reference-log": cmd_parse_reference_log,
+            "compare-trajectory": cmd_compare_trajectory}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m ha2g_tpu.cli {{{'|'.join(cmds)}}} ...")
         return 1

@@ -60,9 +60,10 @@ class PoseEncoderConv(nn.Module):
 
 
 class PoseDecoderConv(nn.Module):
-    """32-d latent -> (B, 34, dim) via FC pre-net + transposed convs
-    (embedding_net.py:165-217).  Only the 34-frame path is rebuilt (the
-    64-frame branch is unused by the shipped configs)."""
+    """32-d latent -> (B, n_frames, dim) via FC pre-net + transposed convs
+    (embedding_net.py:165-217).  Both reference pre-net branches are
+    rebuilt: 34 frames (Linear 64 -> 136, the shipped configs) and
+    64 frames (Linear 128 -> 256, embedding_net.py:180-186)."""
 
     pose_dim: int
     n_frames: int = 34
@@ -78,21 +79,23 @@ class PoseDecoderConv(nn.Module):
             pre = Dense(32)(pre)
             feat = jnp.concatenate([pre, feat], axis=1)
 
-        assert self.n_frames == 34, "only the 34-frame decoder is supported"
-        x = Dense(64)(feat)
+        pre_widths = {34: (64, 136), 64: (128, 256)}
+        assert self.n_frames in pre_widths, "reference supports 34/64 frames"
+        w_hidden, w_out = pre_widths[self.n_frames]
+        x = Dense(w_hidden)(feat)
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 1.0)  # LeakyReLU(True) quirk
-        x = Dense(136)(x)
-        x = rearrange(x, "b (c t) -> b t c", c=4)  # torch view(B, 4, 34)
+        x = Dense(w_out)(x)
+        x = rearrange(x, "b (c t) -> b t c", c=4)  # torch view(B, 4, T)
 
-        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)  # 34 -> 36
+        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)  # T -> T+2
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 0.2)
-        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)  # 36 -> 38
+        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)  # T+2 -> T+4
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 0.2)
-        x = Conv1d(32, 3)(x)                                # 38 -> 36
-        x = Conv1d(self.pose_dim, 3)(x)                     # 36 -> 34
+        x = Conv1d(32, 3)(x)                                # T+4 -> T+2
+        x = Conv1d(self.pose_dim, 3)(x)                     # T+2 -> T
         return x
 
 

@@ -213,12 +213,26 @@ class Trainer:
             start_epoch = int(extra.get("epoch", -1)) + 1
             logging.info(f"resumed from {resume_from} at epoch {start_epoch}")
         history = []
+        # persisted val-metric trajectory, consumed by
+        # `cli compare-trajectory` (golden-trajectory harness vs the
+        # reference training logs, eval/trajectory.py)
+        history_path = save_path / "history.jsonl"
+        save_path.mkdir(parents=True, exist_ok=True)
+
+        def _record(val_row: dict, epoch_no: int):
+            row = {"epoch": epoch_no, **{k: float(v)
+                                         for k, v in val_row.items()}}
+            history.append(row)
+            with open(history_path, "a") as f:
+                import json
+                f.write(json.dumps(row) + "\n")
+
         global_iter = 0
         for epoch in range(start_epoch, epochs):
             # eval first (train.py:190)
             if epoch % eval_every == 0:
                 val = self.evaluate(state, epoch)
-                history.append(val)
+                _record(val, epoch)
                 if self.tb is not None:
                     for k, v in val.items():
                         self.tb.add_scalar(f"val/{k}", v, epoch)
@@ -298,7 +312,7 @@ class Trainer:
                 f" ({n_samples / max(time.time() - t0, 1e-6):.1f} samples/s)")
 
         val = self.evaluate(state, epochs)
-        history.append(val)
+        _record(val, epochs)
         self._track_best(val, epochs, state, save_path)
         save_checkpoint(save_path / "checkpoint_final", state, cfg,
                         self.lang, self.speaker,

@@ -110,6 +110,16 @@ def test_embedding_net_pose_mode_roundtrip():
     assert recon.shape == (B, 34, 27)
 
 
+def test_pose_decoder_conv_64_frames():
+    # the reference's 64-frame pre-net branch (embedding_net.py:180-186)
+    from ha2g_tpu.models.embedding_net import PoseDecoderConv
+    m = PoseDecoderConv(pose_dim=27, n_frames=64)
+    latent = jnp.zeros((B, 32))
+    vars_ = m.init(_rngs(), latent)
+    out = m.apply(vars_, latent)
+    assert out.shape == (B, 64, 27)
+
+
 def test_motion_ae_roundtrip():
     m = MotionAE(pose_dim=126, latent_dim=128)
     poses = jnp.zeros((B, 34, 126))
