@@ -79,7 +79,9 @@ def _prepare(cfg):
 
     lang = build_vocab("words", [train_clips, val_clips])
     if cfg.wordembed_path and Path(cfg.wordembed_path).exists():
-        lang.load_word_vectors_npy(cfg.wordembed_path, cfg.wordembed_dim)
+        # .bin (fastText, incl. the reference configs' default
+        # crawl-300d-2M-subword.bin), .vec text, or pre-aligned .npy
+        lang.load_word_vectors(cfg.wordembed_path, cfg.wordembed_dim)
     else:
         lang.random_word_vectors(cfg.wordembed_dim)
     speaker = Vocab("vid", insert_default_tokens=False)
@@ -372,6 +374,32 @@ def cmd_import_lmdb(argv):
     return 0
 
 
+def cmd_import_embeddings(argv):
+    """Align a pretrained embedding model (fastText .bin / text .vec) to a
+    dataset's vocabulary and write the (n_words, dim) .npy table — a
+    precomputed cache for wordembed_path (reference vocab.py:70-84 does
+    this inline at every training start)."""
+    from ha2g_tpu.config import parse_cli
+    from ha2g_tpu.data.vocab import build_vocab
+
+    p = argparse.ArgumentParser()
+    p.add_argument("model", help="fastText .bin or .vec/.txt text vectors")
+    p.add_argument("out", help="output .npy path")
+    p.add_argument("--config", required=True,
+                   help="training config whose data defines the vocab")
+    p.add_argument("--dim", type=int, default=300)
+    a = p.parse_args(argv)
+
+    cfg = parse_cli(["--config", a.config])
+    train_clips = _load_split(cfg.train_data_path, cfg, 0)
+    val_clips = _load_split(cfg.test_data_path or cfg.val_data_path, cfg, 1)
+    lang = build_vocab("words", [train_clips, val_clips])
+    lang.load_word_vectors(a.model, a.dim)
+    np.save(a.out, lang.word_embedding_weights)
+    print(f"aligned {lang.n_words} words x {a.dim} -> {a.out}")
+    return 0
+
+
 def cmd_parse_reference_log(argv):
     """Parse a reference training log (training_logs/*.log) into a
     structured baseline JSON for the golden-trajectory harness
@@ -447,6 +475,7 @@ def main():
             "import-lmdb": cmd_import_lmdb,
             "import-checkpoint": cmd_import_checkpoint,
             "import-evalnet": cmd_import_evalnet,
+            "import-embeddings": cmd_import_embeddings,
             "parse-reference-log": cmd_parse_reference_log,
             "compare-trajectory": cmd_compare_trajectory}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:

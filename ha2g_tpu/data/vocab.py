@@ -86,6 +86,41 @@ class Vocab:
         self.word_embedding_weights = np.load(path).astype(np.float32)
         assert self.word_embedding_weights.shape == (self.n_words, embed_dim)
 
+    def load_word_vectors(self, path: str | Path, embed_dim: int = 300,
+                          seed: int = 0):
+        """Pretrained-embedding loading with the reference's semantics
+        (vocab.py:70-84): init the whole table N(0, 1/sqrt(dim)), then
+        overwrite every vocab word with its model vector.  Dispatch by
+        extension: .bin = fastText binary (pure-Python reader incl.
+        subword n-grams, so OOV vocab words still get vectors, exactly
+        like the reference's fasttext.get_word_vector), .vec/.txt = text
+        vectors (OOV words keep the random init), .npy = a pre-aligned
+        (n_words, dim) table."""
+        path = Path(path)
+        if path.suffix == ".npy":
+            return self.load_word_vectors_npy(path, embed_dim)
+        rng = np.random.default_rng(seed)
+        weights = rng.normal(0, 1 / np.sqrt(embed_dim),
+                             (self.n_words, embed_dim)).astype(np.float32)
+        if path.suffix == ".bin":
+            from ha2g_tpu.data.fasttext_bin import load_model
+            try:
+                import fasttext  # the real package, if present
+                model = fasttext.load_model(str(path))
+            except ImportError:
+                model = load_model(path)
+            assert model.get_dimension() == embed_dim
+            for word, idx in self.word2index.items():
+                weights[idx] = model.get_word_vector(word)
+        else:
+            from ha2g_tpu.data.fasttext_bin import load_vec_text
+            vectors, dim = load_vec_text(path)
+            assert dim == embed_dim, f"{path} has dim {dim} != {embed_dim}"
+            for word, idx in self.word2index.items():
+                if word in vectors:
+                    weights[idx] = vectors[word]
+        self.word_embedding_weights = weights
+
     def random_word_vectors(self, embed_dim: int = 300, seed: int = 0):
         rng = np.random.default_rng(seed)
         self.word_embedding_weights = rng.normal(
