@@ -211,7 +211,7 @@ def _decode(union: pa.UnionArray, index: int, ndarrays: list) -> object:
     child_pos = union.type.type_codes.index(tag)
     field = union.type.field(child_pos)
     child = union.field(child_pos)
-    off = union.value_offsets[index].as_py()
+    off = union.offsets[index].as_py()
     t = field.type
     if pa.types.is_null(t):
         return None
