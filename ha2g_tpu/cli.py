@@ -199,6 +199,9 @@ def cmd_synthesize(argv):
     p.add_argument("--fused", action="store_true",
                    help="hierarchy only: run the whole window loop as one "
                         "on-device lax.scan")
+    p.add_argument("--low_latency", action="store_true",
+                   help="hierarchy only: Pallas fused-GRU generators "
+                        "(fastest for --n <= 8 interactive use)")
     p.add_argument("--render", action="store_true",
                    help="also render a skeleton video per clip")
     a = p.parse_args(argv)
@@ -206,7 +209,7 @@ def cmd_synthesize(argv):
     cfg, lang, speaker, system, state = _load_checkpoint_system(a.checkpoint)
     clips = _load_split(a.clips, cfg, 2)[:a.n]
 
-    synth = make_synthesizer(system, state)
+    synth = make_synthesizer(system, state, low_latency=a.low_latency)
     n_samples = min(len(c["audio_raw"]) for c in clips)
     audio = np.stack([np.asarray(c["audio_raw"][:n_samples], np.float32)
                       for c in clips])

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ha2g_tpu.ops.precision import resolve
+
 
 def torch_kaiming_uniform(key, shape, dtype=jnp.float32):
     """torch default weight init for Linear/Conv: U(-b, b), b = 1/sqrt(fan_in).
@@ -57,7 +59,7 @@ class Dense(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
-    dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None  # None = the precision context
 
     @nn.compact
     def __call__(self, x):
@@ -66,7 +68,7 @@ class Dense(nn.Module):
         return nn.Dense(self.features, use_bias=self.use_bias,
                         kernel_init=kinit,
                         bias_init=_bias_init_for(in_dim),
-                        dtype=self.dtype)(x)
+                        dtype=resolve(self.dtype))(x)
 
 
 class Conv1d(nn.Module):
@@ -82,7 +84,7 @@ class Conv1d(nn.Module):
     padding: int | str = 0  # int = symmetric zero pad (torch), or 'SAME'/'VALID'
     dilation: int = 1
     use_bias: bool = True
-    dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None  # None = the precision context
 
     @nn.compact
     def __call__(self, x):
@@ -98,7 +100,7 @@ class Conv1d(nn.Module):
                        use_bias=self.use_bias,
                        kernel_init=torch_kaiming_uniform,
                        bias_init=_bias_init_for(fan_in),
-                       dtype=self.dtype)(x)
+                       dtype=resolve(self.dtype))(x)
 
 
 class Conv2d(nn.Module):
@@ -110,7 +112,7 @@ class Conv2d(nn.Module):
     padding: tuple[int, int] | int | str = 0
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
-    dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None  # None = the precision context
 
     @nn.compact
     def __call__(self, x):
@@ -130,7 +132,7 @@ class Conv2d(nn.Module):
                        use_bias=self.use_bias,
                        kernel_init=self.kernel_init or torch_kaiming_uniform,
                        bias_init=_bias_init_for(fan_in),
-                       dtype=self.dtype)(x)
+                       dtype=resolve(self.dtype))(x)
 
 
 class BatchNorm(nn.Module):
@@ -138,14 +140,18 @@ class BatchNorm(nn.Module):
     (last) axis; global-batch statistics under sharding (sync-BN)."""
 
     use_running_average: Optional[bool] = None
-    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         ura = nn.merge_param("use_running_average",
                              self.use_running_average, use_running_average)
-        return nn.BatchNorm(use_running_average=ura, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype)(x)
+        # normalization itself stays float32 (mixed-precision practice:
+        # small-batch variance in bf16 is noisy); output returns to the
+        # active compute dtype
+        out = nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                           epsilon=1e-5,
+                           dtype=jnp.float32)(x.astype(jnp.float32))
+        return out.astype(resolve(None))
 
 
 def leaky_relu(x, slope: float):

@@ -28,6 +28,7 @@ from ha2g_tpu.models.common import (BatchNorm, Conv1d, ConvNormRelu1d, Dense,
 from ha2g_tpu.models.multimodal_context import WavEncoder
 from ha2g_tpu.models.tcn import TextEncoderTCN
 from ha2g_tpu.ops.gru import GRU
+from ha2g_tpu.ops.precision import resolve
 
 
 class PoseEncoderConv(nn.Module):
@@ -88,10 +89,12 @@ class PoseDecoderConv(nn.Module):
         x = Dense(w_out)(x)
         x = rearrange(x, "b (c t) -> b t c", c=4)  # torch view(B, 4, T)
 
-        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)  # T -> T+2
+        x = nn.ConvTranspose(32, (3,), padding="VALID",
+                             dtype=resolve(None))(x)  # T -> T+2
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 0.2)
-        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)  # T+2 -> T+4
+        x = nn.ConvTranspose(32, (3,), padding="VALID",
+                             dtype=resolve(None))(x)  # T+2 -> T+4
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 0.2)
         x = Conv1d(32, 3)(x)                                # T+4 -> T+2

@@ -86,6 +86,10 @@ class HierarchicalPoseGenerator(nn.Module):
     input_context: str = "both"
     freeze_wordembed: bool = False
     word_embeddings: Optional[jnp.ndarray] = None
+    # Pallas fused GRU recurrence (ops/pallas_gru.py): opt-in for the
+    # latency-bound single-stream synthesis path (B <= 8); param layout
+    # is identical so checkpoints are interchangeable
+    use_pallas_gru: bool = False
 
     @nn.compact
     def __call__(self, pre_seq, in_text, audio_feat_seq, vid_indices,
@@ -121,7 +125,8 @@ class HierarchicalPoseGenerator(nn.Module):
                 axis=2)
 
         out, _ = GRU(hidden_size=self.hidden_size, n_layers=self.n_layers,
-                     bidirectional=True, dropout=self.dropout)(
+                     bidirectional=True, dropout=self.dropout,
+                     use_pallas=self.use_pallas_gru)(
             in_data, deterministic=det)
         out = out[..., :self.hidden_size] + out[..., self.hidden_size:]
         # out MLP: Linear -> LeakyReLU(0.01; `inplace=True` site,

@@ -13,6 +13,7 @@ from einops import rearrange
 
 from ha2g_tpu.models.common import (BatchNorm, Conv1d, ConvNormRelu1d, Dense,
                                     leaky_relu)
+from ha2g_tpu.ops.precision import resolve
 
 
 class MotionEncoderConv(nn.Module):
@@ -49,10 +50,12 @@ class MotionDecoderConv(nn.Module):
         x = leaky_relu(x, 1.0)
         x = Dense(136)(x)
         x = rearrange(x, "b (c t) -> b t c", c=4)
-        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)
+        x = nn.ConvTranspose(32, (3,), padding="VALID",
+                             dtype=resolve(None))(x)
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 0.2)
-        x = nn.ConvTranspose(32, (3,), padding="VALID")(x)
+        x = nn.ConvTranspose(32, (3,), padding="VALID",
+                             dtype=resolve(None))(x)
         x = BatchNorm(use_running_average=not train)(x)
         x = leaky_relu(x, 0.2)
         x = Conv1d(32, 3)(x)

@@ -17,6 +17,7 @@ import flax.linen as nn
 
 from ha2g_tpu.models.common import (BatchNorm, Dense, leaky_relu,
                                     torch_kaiming_uniform, _bias_init_for)
+from ha2g_tpu.ops.precision import resolve
 
 
 class ConvNormRelu(nn.Module):
@@ -38,7 +39,8 @@ class ConvNormRelu(nn.Module):
         fan_in = x.shape[-1] * (k * k if self.is_2d else k)
         x = nn.Conv(self.features, ks, strides=st, padding=self.padding,
                     kernel_init=torch_kaiming_uniform,
-                    bias_init=_bias_init_for(fan_in))(x)
+                    bias_init=_bias_init_for(fan_in),
+                    dtype=resolve(None))(x)
         x = BatchNorm(use_running_average=not train)(x)
         return leaky_relu(x, 0.2)
 
@@ -118,7 +120,8 @@ class Generator(nn.Module):
         feat = ConvNormRelu(256)(feat, train=train)
         return nn.Conv(self.pose_dim, (1,),
                        kernel_init=torch_kaiming_uniform,
-                       bias_init=_bias_init_for(256))(feat)
+                       bias_init=_bias_init_for(256),
+                       dtype=resolve(None))(feat)
 
 
 class Discriminator(nn.Module):
@@ -130,10 +133,12 @@ class Discriminator(nn.Module):
         x = poses[:, 1:] - poses[:, :-1]
         x = nn.Conv(64, (4,), strides=(2,), padding="SAME",
                     kernel_init=torch_kaiming_uniform,
-                    bias_init=_bias_init_for(x.shape[-1] * 4))(x)
+                    bias_init=_bias_init_for(x.shape[-1] * 4),
+                    dtype=resolve(None))(x)
         x = leaky_relu(x, 0.2)
         x = ConvNormRelu(128, downsample=True)(x, train=train)
         x = ConvNormRelu(256, k=4, s=1)(x, train=train)
         return nn.Conv(1, (4,), padding="SAME",
                        kernel_init=torch_kaiming_uniform,
-                       bias_init=_bias_init_for(256 * 4))(x)
+                       bias_init=_bias_init_for(256 * 4),
+                       dtype=resolve(None))(x)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ha2g_tpu.models.common import Dense, torch_kaiming_uniform, _bias_init_for
+from ha2g_tpu.ops.precision import resolve
 
 
 class WeightNormConv1d(nn.Module):
@@ -40,14 +41,17 @@ class WeightNormConv1d(nn.Module):
             (self.features,))
         b = self.param("b", _bias_init_for(in_dim * self.kernel_size),
                        (self.features,))
+        # weight-norm math in float32 (param dtype); only the conv itself
+        # runs in the compute dtype
         norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
         kernel = v * (g / jnp.maximum(norm, 1e-12))[None, None, :]
+        cdt = resolve(None)
         pad = (self.kernel_size - 1) * self.dilation
         y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1,), padding=[(pad, 0)],
-            rhs_dilation=(self.dilation,),
+            x.astype(cdt), kernel.astype(cdt), window_strides=(1,),
+            padding=[(pad, 0)], rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"))
-        return y + b
+        return y + b.astype(cdt)
 
 
 class TemporalBlock(nn.Module):
@@ -71,7 +75,8 @@ class TemporalBlock(nn.Module):
             # 1x1 downsample conv (reference tcn.py:33)
             res = nn.Conv(self.features, (1,),
                           kernel_init=torch_kaiming_uniform,
-                          bias_init=_bias_init_for(res.shape[-1]))(res)
+                          bias_init=_bias_init_for(res.shape[-1]),
+                          dtype=resolve(None))(res)
         return jax.nn.relu(y + res)
 
 
@@ -126,5 +131,6 @@ class TextEncoderTCN(nn.Module):
             emb, deterministic=deterministic)
         # decoder init: weight normal(0, 0.01), bias 0 (hierarchy_net.py:44-46)
         y = nn.Dense(32, kernel_init=nn.initializers.normal(stddev=0.01),
-                     bias_init=nn.initializers.zeros)(y)
+                     bias_init=nn.initializers.zeros,
+                     dtype=resolve(None))(y)
         return y

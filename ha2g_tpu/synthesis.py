@@ -364,10 +364,20 @@ class EmbedSynthesizer(SlidingWindowSynthesizer):
         return out[-1]
 
 
-def make_synthesizer(system, state):
-    """Dispatch on the system's config."""
+def make_synthesizer(system, state, low_latency: bool = False):
+    """Dispatch on the system's config.
+
+    low_latency=True (hierarchy only) swaps the cascade generators for
+    Pallas-fused-GRU twins (ops/pallas_gru.py) — the recurrence runs as
+    one kernel with weights resident in VMEM, which wins at the B<=8
+    batch sizes of interactive synthesis; checkpoints are unchanged."""
     model = system.cfg.model
     if model == "hierarchy":
+        if low_latency:
+            import copy
+            system = copy.copy(system)
+            system.gens = tuple(g.clone(use_pallas_gru=True)
+                                for g in system.gens)
         return HierarchySynthesizer(system, state)
     if model == "multimodal_context":
         return MultimodalSynthesizer(system, state)

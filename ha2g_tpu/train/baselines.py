@@ -32,8 +32,24 @@ from ha2g_tpu.models.motion_ae import MotionAE
 from ha2g_tpu.models.multimodal_context import PoseGenerator
 from ha2g_tpu.models.seq2seq import Seq2SeqNet
 from ha2g_tpu.models import speech2gesture as s2g
+from ha2g_tpu.ops.precision import precision, to_float32
 from ha2g_tpu.train import losses
 
+
+
+def _in_precision(cfg, fn):
+    """Trace `fn` under the config's compute dtype (ops/precision.py);
+    model outputs are cast back to float32 at the loss/metric boundary
+    by the leaf blocks' float32 params + the systems' loss math."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with precision(getattr(cfg, "compute_dtype", None)):
+            # float32 on the way out keeps state/metrics dtype-stable
+            # across steps regardless of the compute dtype
+            return to_float32(fn(*args, **kwargs))
+    return wrapped
 
 @flax.struct.dataclass
 class TrainState:
@@ -107,7 +123,7 @@ class EmbedSystem:
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, new_bs, opt, state.step + 1), \
                 {"loss": loss}
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
     def make_eval_step(self):
         def step(state: TrainState, batch, rng):
@@ -119,7 +135,7 @@ class EmbedSystem:
             *_, recon = out
             loss = jnp.mean(jnp.abs(recon - batch["target"]))
             return recon, loss
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +274,7 @@ class MultimodalGanSystem:
                             batch_stats={"gen": new_gbs, "dis": new_dbs},
                             g_opt=g_opt, d_opt=d_opt,
                             step=state.step + 1), metrics
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
     def make_eval_step(self):
         def step(state: GanState, batch, rng):
@@ -270,7 +286,7 @@ class MultimodalGanSystem:
                 train=False,
                 rngs={"dropout": rng, "noise": jax.random.fold_in(rng, 1)})
             return out, jnp.mean(jnp.abs(out - batch["target"]))
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +343,7 @@ class Seq2SeqSystem:
             params = optax.apply_updates(state.params, up)
             return TrainState(params, new_bs, opt, state.step + 1), \
                 {"loss": loss}
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
     def make_eval_step(self):
         def step(state: TrainState, batch, rng):
@@ -336,7 +352,7 @@ class Seq2SeqSystem:
                 batch["word_seq"], batch["word_lengths"], batch["target"],
                 batch["vids"], train=False, rngs={"dropout": rng})
             return out, jnp.mean(jnp.abs(out - batch["target"]))
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +447,7 @@ class S2GSystem:
                             batch_stats={"gen": new_gbs, "dis": new_dbs},
                             g_opt=g_opt, d_opt=d_opt,
                             step=state.step + 1), metrics
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
     def make_eval_step(self):
         def step(state: GanState, batch, rng):
@@ -441,7 +457,7 @@ class S2GSystem:
                  "batch_stats": state.batch_stats["gen"]},
                 batch["spec"], pre, train=False)
             return out, jnp.mean(jnp.abs(out - batch["target"]))
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +516,7 @@ class MotionAESystem:
             params = optax.apply_updates(state.params, up)
             return TrainState(params, new_bs, opt, state.step + 1), \
                 {"loss": loss, "l1": l1}
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))
 
     def make_eval_step(self):
         def step(state: TrainState, batch, rng):
@@ -508,4 +524,4 @@ class MotionAESystem:
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch["target"], train=False)
             return recon, jnp.mean(jnp.abs(recon - batch["target"]))
-        return jax.jit(step)
+        return jax.jit(_in_precision(self.cfg, step))

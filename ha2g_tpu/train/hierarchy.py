@@ -39,6 +39,7 @@ from ha2g_tpu.models.hierarchy import (ConvDiscriminator,
                                        HierarchicalPoseGenerator,
                                        HierarchicalWavEncoder)
 from ha2g_tpu.models.tcn import TextEncoderTCN
+from ha2g_tpu.ops.precision import precision, to_float32
 from ha2g_tpu.skeleton import SkeletonSpec
 from ha2g_tpu.train import losses
 from ha2g_tpu.train.cascade import run_cascade
@@ -132,17 +133,25 @@ class HierarchySystem:
             return apply
         return [make(l) for l in range(self.spec.n_levels)]
 
+    def _cascade(self, gen_params, blend, batch, rng, train, vids=None):
+        """Level cascade on precomputed audio blend features; returns
+        float32 (outs, targets, z, mu, logvar)."""
+        vids = batch["vids"] if vids is None else vids
+        gen_apply = self._gen_apply(gen_params, rng, train)
+        outs, targets, z, mu, logvar = run_cascade(
+            gen_apply, self.spec, batch["target"], batch["text"], blend,
+            vids, self.cfg.n_pre_poses)
+        # loss boundary: everything leaving the model is float32 even when
+        # the compute dtype is bf16
+        return to_float32((outs, targets, z, mu, logvar))
+
     def _forward_cascade(self, params, batch_stats, batch, rng, train,
                          vids=None, mutable_audio=False):
-        """audio encoder + cascade; returns (outs, targets, z, mu, logvar,
-        new audio batch_stats)."""
-        vids = batch["vids"] if vids is None else vids
+        """audio encoder + cascade (eval/synthesis path); returns (outs,
+        targets, z, mu, logvar, (lo, mid, hi), new audio batch_stats)."""
         audio_vars = {"params": params["audio"],
                       "batch_stats": batch_stats["audio"]}
         if train:
-            # always run mutable in train mode; discard the stat updates for
-            # the auxiliary D-phase forward so the audio encoder's running
-            # stats advance exactly once per iteration, as in the reference
             (res, new_av) = self.audio.apply(
                 audio_vars, batch["spec"], batch["vids"], train=True,
                 mutable=["batch_stats"])
@@ -153,11 +162,10 @@ class HierarchySystem:
                                    train=False)
             new_abs = batch_stats["audio"]
         weight, lo, mid, hi, blend = res
-        gen_apply = self._gen_apply(params["gens"], rng, train)
-        outs, targets, z, mu, logvar = run_cascade(
-            gen_apply, self.spec, batch["target"], batch["text"], blend,
-            vids, self.cfg.n_pre_poses)
-        return outs, targets, z, mu, logvar, (lo, mid, hi), new_abs
+        outs, targets, z, mu, logvar = self._cascade(
+            params["gens"], blend, batch, rng, train, vids)
+        return (outs, targets, z, mu, logvar,
+                to_float32((lo, mid, hi)), new_abs)
 
     # ------------------------------------------------------------------
     def make_train_step(self, gan_on: bool, donate: bool = False):
@@ -165,15 +173,49 @@ class HierarchySystem:
         spec = self.spec
 
         def train_step(state: HierarchyState, batch, rng):
+            with precision(cfg.compute_dtype):
+                # float32 on the way out keeps state/metrics dtype-stable
+                return to_float32(
+                    self._train_step_body(state, batch, rng, gan_on))
+
+        return jax.jit(train_step,
+                       donate_argnums=(0,) if donate else ())
+
+    def _train_step_body(self, state: HierarchyState, batch, rng,
+                         gan_on: bool):
+            cfg = self.cfg
+            spec = self.spec
             metrics = {}
             k_d, k_g, k_rand, k_perm, k_text = jax.random.split(rng, 5)
+
+            # ONE audio-encoder forward per iteration, shared by the D
+            # phase, the G cascade, the diversity cascade, and the
+            # contrastive features — exactly the reference's dataflow
+            # (train_hierarchy.py:78; its per-phase re-computations are
+            # commented out at :96, :141, :191).  jax.vjp keeps the
+            # backward available so the G update still trains the audio
+            # encoder with one forward + one backward instead of the
+            # 3 fwd + 2 bwd a naive per-phase re-run costs (~40% of the
+            # round-1 step time).
+            def audio_fwd(ap):
+                res, new_av = self.audio.apply(
+                    {"params": ap, "batch_stats": state.batch_stats["audio"]},
+                    batch["spec"], batch["vids"], train=True,
+                    mutable=["batch_stats"])
+                _weight, lo, _mid, hi, blend = res
+                return (lo, hi, blend), new_av["batch_stats"]
+
+            audio_feats, audio_vjp, new_abs = jax.vjp(
+                audio_fwd, state.params["audio"], has_aux=True)
+            lo, hi, blend = audio_feats
 
             # ---------------- D phase ----------------
             d_params, d_opt, dis_bs = state.params["dis"], state.d_opt, \
                 state.batch_stats["dis"]
             if gan_on and cfg.loss_gan_weight > 0.0:
-                outs, _, _, _, _, _, _ = self._forward_cascade(
-                    state.params, state.batch_stats, batch, k_d, train=True)
+                outs, _, _, _, _ = self._cascade(
+                    state.params["gens"], jax.lax.stop_gradient(blend),
+                    batch, k_d, train=True)
                 fake = jax.lax.stop_gradient(outs[-1])
 
                 def d_loss_fn(dp, bs):
@@ -186,7 +228,8 @@ class HierarchySystem:
                     d_fake, m2 = self.dis.apply(
                         dv, fake, train=True, mutable=["batch_stats"],
                         rngs={"dropout": jax.random.fold_in(k_d, 101)})
-                    return losses.nsgan_d_loss(d_real, d_fake), \
+                    return losses.nsgan_d_loss(to_float32(d_real),
+                                               to_float32(d_fake)), \
                         m2["batch_stats"]
 
                 (d_loss, dis_bs), d_grads = jax.value_and_grad(
@@ -196,14 +239,13 @@ class HierarchySystem:
                 metrics["dis"] = d_loss
 
             # ---------------- G phase (vs updated D) ----------------
-            g_params = {k: state.params[k] for k in ("audio", "text", "gens")}
+            gt_params = {k: state.params[k] for k in ("text", "gens")}
 
-            def g_loss_fn(gp, dis_bs_in):
-                outs, targets, z, mu, logvar, feats, new_abs = \
-                    self._forward_cascade(
-                        {**gp, "dis": d_params}, state.batch_stats, batch,
-                        k_g, train=True, mutable_audio=True)
-                lo, mid, hi = feats
+            def g_loss_fn(gp, feats, dis_bs_in):
+                lo, hi, blend = feats
+                lo, hi = to_float32((lo, hi))
+                outs, targets, z, mu, logvar = self._cascade(
+                    gp["gens"], blend, batch, k_g, train=True)
                 out = outs[-1]
                 m = {}
 
@@ -218,15 +260,15 @@ class HierarchySystem:
                 d_out, md = self.dis.apply(
                     dv, out, train=True, mutable=["batch_stats"],
                     rngs={"dropout": jax.random.fold_in(k_g, 100)})
-                gen_error = losses.nsgan_g_loss(d_out)
+                gen_error = losses.nsgan_g_loss(to_float32(d_out))
 
                 loss = cfg.loss_regression_weight * huber
 
                 # contrastive: text vs high-level (+) and low-level (-)
                 # (train_hierarchy.py:145-150)
-                text_feat = self.text.apply(
+                text_feat = to_float32(self.text.apply(
                     {"params": gp["text"]}, batch["text"],
-                    deterministic=False, rngs={"dropout": k_text})
+                    deterministic=False, rngs={"dropout": k_text}))
                 tf = text_feat.reshape(-1, text_feat.shape[-1])
                 if cfg.loss_contrastive_pos_weight > 0.0:
                     c_pos = losses.softmax_contrastive(
@@ -244,9 +286,11 @@ class HierarchySystem:
                         cfg.loss_reg_weight > 0.0:
                     rand_vids = jax.random.permutation(k_perm, batch["vids"]) \
                         if cfg.z_type == "speaker" else batch["vids"]
-                    outs_r, _, z_rand, _, _, _, _ = self._forward_cascade(
-                        {**gp, "dis": d_params}, state.batch_stats, batch,
-                        k_rand, train=True, vids=rand_vids)
+                    # same shared blend, permuted speaker ids
+                    # (train_hierarchy.py:185-199)
+                    outs_r, _, z_rand, _, _ = self._cascade(
+                        gp["gens"], blend, batch, k_rand, train=True,
+                        vids=rand_vids)
                     div = losses.diversity_regularizer(
                         out, outs_r[-1], z, z_rand)
                     loss += cfg.loss_reg_weight * div
@@ -267,10 +311,15 @@ class HierarchySystem:
                     loss += cfg.loss_physical_weight * phy
                     m["phy"] = cfg.loss_physical_weight * phy
 
-                return loss, (m, new_abs, md["batch_stats"])
+                return loss, (m, md["batch_stats"])
 
-            (g_loss, (m, new_abs, new_dbs)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(g_params, dis_bs)
+            (g_loss, (m, new_dbs)), (gt_grads, feat_cts) = \
+                jax.value_and_grad(g_loss_fn, argnums=(0, 1), has_aux=True)(
+                    gt_params, audio_feats, dis_bs)
+            # pull the audio-encoder gradient through the shared forward
+            (audio_grads,) = audio_vjp(feat_cts)
+            g_grads = {"audio": audio_grads, **gt_grads}
+            g_params = {"audio": state.params["audio"], **gt_params}
             g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, g_params)
             g_params = optax.apply_updates(g_params, g_updates)
             metrics.update(m)
@@ -281,9 +330,6 @@ class HierarchySystem:
                 g_opt=g_opt, d_opt=d_opt, step=state.step + 1)
             return new_state, metrics
 
-        return jax.jit(train_step,
-                       donate_argnums=(0,) if donate else ())
-
     # ------------------------------------------------------------------
     def make_eval_step(self):
         """Validation cascade (train.py:376-417): seeds pre-seq from target's
@@ -292,8 +338,9 @@ class HierarchySystem:
         does not disable the explicit randn) — we keep an explicit rng."""
 
         def eval_step(state: HierarchyState, batch, rng):
-            outs, targets, z, mu, logvar, _, _ = self._forward_cascade(
-                state.params, state.batch_stats, batch, rng, train=False)
+            with precision(self.cfg.compute_dtype):
+                outs, targets, z, mu, logvar, _, _ = self._forward_cascade(
+                    state.params, state.batch_stats, batch, rng, train=False)
             out = outs[-1]
             l1 = jnp.mean(jnp.abs(out - batch["target"]))
             return out, l1

@@ -112,3 +112,27 @@ def test_assemble_to_training(tmp_path):
                            default_mean_dir_vec(TED_GESTURE))
     assert len(samples) > 0
     assert samples.spec.shape[1:] == (128, 70)
+
+
+def test_qa_report_html(tmp_path):
+    """The headless replacement for review_filtered_clips.py: filter
+    decisions + overlay contact sheets rendered into one HTML file."""
+    from ha2g_tpu.dataset_pipeline.report import (run_filter_pass,
+                                                  write_qa_report)
+    n = 100
+    good = [np.stack([_person(300 + 0.2 * t)]) for t in range(n)]
+    short = good[:10]
+    back = []
+    for t in range(n):
+        p = _person(300)
+        p[2, 0], p[5, 0] = p[5, 0], p[2, 0]  # swapped shoulders = back
+        back.append(np.stack([p]))
+    scenes = [good, short, back]
+    decisions = run_filter_pass(scenes)
+    assert [d["verdict"] for d in decisions] == \
+        ["PASS", "too short", "looking behind"]
+    out = write_qa_report(scenes, decisions, tmp_path / "qa.html")
+    text = out.read_text()
+    assert "PASS" in text and "looking behind" in text
+    assert text.count("data:image/png;base64") >= 2  # overlays inlined
+    assert "66.7%" in text or "33.3%" in text  # reason shares

@@ -93,3 +93,37 @@ def test_gru_init_and_grad_flow():
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
     assert any(np.any(np.asarray(l) != 0) for l in flat)
+
+
+def test_gru_scan_custom_vjp_matches_autodiff():
+    """The hand-derived backward (ops/gru.py:_gru_scan_bwd) must equal
+    plain autodiff through the identical scan math."""
+    from ha2g_tpu.ops import gru as G
+
+    def plain_scan(xp, h0, w_hh, b_hh):
+        def step(h, x_t):
+            hh = jnp.einsum("dbh,dhg->dbg", h, w_hh) + b_hh[:, None, :]
+            h_new, _ = G._gru_gates(x_t, hh, h)
+            return h_new, h_new
+        h_final, outs = jax.lax.scan(step, h0, xp)
+        return outs, h_final
+
+    rng = np.random.default_rng(0)
+    T, D, B, H = 7, 2, 3, 5
+    args = [jnp.asarray(rng.normal(size=s), jnp.float32)
+            for s in [(T, D, B, 3 * H), (D, B, H), (D, H, 3 * H),
+                      (D, 3 * H)]]
+    co = jnp.asarray(rng.normal(size=(T, D, B, H)), jnp.float32)
+    ch = jnp.asarray(rng.normal(size=(D, B, H)), jnp.float32)
+
+    def loss(fn, *a):
+        outs, hf = fn(*a)
+        return jnp.sum(outs * co) + jnp.sum(hf * ch)
+
+    g_auto = jax.grad(lambda *a: loss(plain_scan, *a),
+                      argnums=(0, 1, 2, 3))(*args)
+    g_custom = jax.grad(lambda *a: loss(G._gru_scan, *a),
+                        argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_auto, g_custom):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=2e-6)
