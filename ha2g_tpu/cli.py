@@ -377,6 +377,19 @@ def cmd_import_lmdb(argv):
     return 0
 
 
+def cmd_make_librosa_goldens(argv):
+    """Generate the DSP golden fixture AGAINST LIBROSA ITSELF (run in an
+    env with librosa 0.8; see tests/test_mel_oracles.py)."""
+    from ha2g_tpu.tools import make_librosa_goldens
+    p = argparse.ArgumentParser()
+    p.add_argument("out", nargs="?",
+                   default="tests/fixtures/librosa_goldens.npz")
+    a = p.parse_args(argv)
+    Path(a.out).parent.mkdir(parents=True, exist_ok=True)
+    print(f"wrote {make_librosa_goldens(a.out)}")
+    return 0
+
+
 def cmd_import_embeddings(argv):
     """Align a pretrained embedding model (fastText .bin / text .vec) to a
     dataset's vocabulary and write the (n_words, dim) .npy table — a
@@ -479,6 +492,7 @@ def main():
             "import-checkpoint": cmd_import_checkpoint,
             "import-evalnet": cmd_import_evalnet,
             "import-embeddings": cmd_import_embeddings,
+            "make-librosa-goldens": cmd_make_librosa_goldens,
             "parse-reference-log": cmd_parse_reference_log,
             "compare-trajectory": cmd_compare_trajectory}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:

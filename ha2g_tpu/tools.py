@@ -70,3 +70,55 @@ def angle_stats(targets: np.ndarray, mean_dir_vec: np.ndarray,
         "var_angle": flat.var(0),
         "change_angle": np.abs(np.diff(angle, axis=1)).mean((0, 1)),
     }
+
+
+# ---------------------------------------------------------------------------
+# librosa golden fixtures (DSP parity protocol)
+# ---------------------------------------------------------------------------
+
+def librosa_golden_signals(sr: int = 16000) -> dict[str, np.ndarray]:
+    """Deterministic fixture signals shared by the golden generator and the
+    parity tests: a click train, a chirp, band-limited noise, speech-like
+    AM noise, and silence-with-bursts — the cases that exercise mel
+    triangle edges, dB flooring, and onset peak picking."""
+    rng = np.random.default_rng(20260816)
+    t = np.arange(4 * sr) / sr
+    sig = {}
+    clicks = np.zeros(4 * sr, np.float32)
+    clicks[(np.arange(8) * 0.5 * sr + 0.25 * sr).astype(int)] = 1.0
+    sig["clicks"] = clicks
+    sig["chirp"] = np.sin(
+        2 * np.pi * (200 * t + (3800 / 8.0) * t ** 2)).astype(np.float32)
+    sig["noise"] = (rng.normal(size=4 * sr) * 0.3).astype(np.float32)
+    am = (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))
+    sig["am_noise"] = (rng.normal(size=4 * sr) * am * 0.4).astype(np.float32)
+    bursts = np.zeros(4 * sr, np.float32)
+    for s0 in (0.5, 1.7, 2.9):
+        i0 = int(s0 * sr)
+        bursts[i0:i0 + sr // 10] = rng.normal(size=sr // 10) * 0.8
+    sig["bursts"] = bursts
+    return sig
+
+
+def make_librosa_goldens(out_path: str) -> str:
+    """Generate the golden npz AGAINST LIBROSA ITSELF (requires the
+    `librosa` package, 0.8.x — the version the reference pins).  Run once
+    in such an env and commit the npz at tests/fixtures/librosa_goldens.npz;
+    tests/test_mel_oracles.py then asserts <1e-2 dB mel parity and equal
+    onset times against it.  Reference call sites:
+    scripts/utils/data_utils.py:34-38 (melspectrogram + power_to_db),
+    scripts/train.py:440 (onset_detect)."""
+    import librosa  # deliberate hard dep: goldens must come from librosa
+
+    sigs = librosa_golden_signals()
+    out: dict[str, np.ndarray] = {"librosa_version":
+                                  np.str_(librosa.__version__)}
+    for name, y in sigs.items():
+        mel = librosa.feature.melspectrogram(
+            y=y, sr=16000, n_fft=1024, hop_length=512, power=2)
+        out[f"{name}/mel_db"] = librosa.power_to_db(mel, ref=np.max)
+        out[f"{name}/onset_env"] = librosa.onset.onset_strength(y=y, sr=16000)
+        out[f"{name}/onset_times"] = librosa.onset.onset_detect(
+            y=y, sr=16000, units="time")
+    np.savez(out_path, **out)
+    return out_path
