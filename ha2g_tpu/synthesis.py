@@ -85,7 +85,15 @@ class SlidingWindowSynthesizer:
         self.cfg: Config = system.cfg
         self.spec: SkeletonSpec = self.cfg.skeleton
         self.state = state
-        self._step = jax.jit(self.window_step)
+
+        def step(state, inputs, rng):
+            # synthesis honors the config's compute dtype (ops/precision.py);
+            # outputs leave as float32
+            from ha2g_tpu.ops.precision import precision, to_float32
+            with precision(self.cfg.compute_dtype):
+                return to_float32(self.window_step(state, inputs, rng))
+
+        self._step = jax.jit(step)
 
     # subclass API ---------------------------------------------------------
     def window_step(self, state, inputs: dict, rng) -> jnp.ndarray:
@@ -203,7 +211,14 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
 
     def __init__(self, system, state):
         super().__init__(system, state)
-        self._fused_step = jax.jit(self._fused_scan,
+
+        def fused(*args, num_sub, spec_len):
+            from ha2g_tpu.ops.precision import precision, to_float32
+            with precision(self.cfg.compute_dtype):
+                return to_float32(self._fused_scan(
+                    *args, num_sub=num_sub, spec_len=spec_len))
+
+        self._fused_step = jax.jit(fused,
                                    static_argnames=("num_sub", "spec_len"))
 
     def window_step(self, state, inputs, rng):
@@ -250,7 +265,9 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
             out = jnp.concatenate([head, out[:, n:]], axis=1)
             return (new_tail, w + 1), out
 
-        init_tail = jnp.zeros((B, n, self.spec.pose_dim))
+        from ha2g_tpu.ops.precision import resolve
+        init_tail = jnp.zeros((B, n, self.spec.pose_dim),
+                              dtype=resolve(None))
         (_, _), ys = jax.lax.scan(step, (init_tail, jnp.int32(0)),
                                   (text_all, s0_all), length=num_sub)
         # windows 0..W-2 contribute their first T-n frames; the last all T
