@@ -56,10 +56,13 @@ def _kernel(xp_f_ref, xp_b_ref, h0_f_ref, h0_b_ref, wf_ref, wb_ref,
 
     hf = _gates(xp_f_ref[0], hf_scr[:], wf_ref[:], bf_ref[:])
     hb = _gates(xp_b_ref[0], hb_scr[:], wb_ref[:], bb_ref[:])
-    hf_scr[:] = hf
-    hb_scr[:] = hb
-    out_f_ref[0] = hf
-    out_b_ref[0] = hb
+    # under bf16 compute the gate math still accumulates fp32 on the MXU
+    # (preferred_element_type above); round once when storing the carry,
+    # matching the scan path's per-step rounding
+    hf_scr[:] = hf.astype(hf_scr.dtype)
+    hb_scr[:] = hb.astype(hb_scr.dtype)
+    out_f_ref[0] = hf.astype(out_f_ref.dtype)
+    out_b_ref[0] = hb.astype(out_b_ref.dtype)
 
 
 def _pallas_forward(xp, h0, w_hh, b_hh, interpret=False):
