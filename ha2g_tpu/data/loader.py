@@ -23,7 +23,12 @@ BATCH_KEYS = ("text", "word_seq", "word_lengths", "pose", "target", "audio",
 class BatchLoader:
     def __init__(self, samples: WindowedSamples, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0, sharding=None):
+                 seed: int = 0, sharding=None, keys=None):
+        # keys: restrict batches to the fields the training system consumes
+        # (the raw 16 kHz audio alone is ~37 MB per 256-batch; shipping it
+        # to a model that only reads spectrograms wastes most of the step's
+        # host->device bandwidth over this TPU's tunnel)
+        self.keys = tuple(keys) if keys else BATCH_KEYS
         self.s = samples
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,7 +48,7 @@ class BatchLoader:
         for i in range(0, stop, self.batch_size):
             sel = idx[i:i + self.batch_size]
             batch = {k: getattr(self.s, k if k != "text" else "text")[sel]
-                     for k in BATCH_KEYS}
+                     for k in self.keys}
             if self.sharding is not None:
                 batch = jax.device_put(batch, self.sharding)
             yield batch

@@ -77,6 +77,8 @@ def _rngs(k):
 class EmbedSystem:
     """gesture_autoencoder (mode='pose') and joint_embedding (mode='random')."""
 
+    batch_keys = ('text', 'audio', 'target', 'vids')
+
     def __init__(self, cfg: Config, n_words: int = 0, word_embeddings=None):
         self.cfg = cfg
         self.mode = "pose" if cfg.model == "gesture_autoencoder" else "random"
@@ -141,6 +143,8 @@ class EmbedSystem:
 # ---------------------------------------------------------------------------
 class MultimodalGanSystem:
     """multimodal_context GAN (train_gan.py)."""
+
+    batch_keys = ('text', 'audio', 'target', 'vids')
 
     def __init__(self, cfg: Config, n_words: int, n_speakers: int,
                  word_embeddings=None):
@@ -291,6 +295,8 @@ class MultimodalGanSystem:
 
 # ---------------------------------------------------------------------------
 class Seq2SeqSystem:
+    batch_keys = ("word_seq", "word_lengths", "target", "vids")
+
     def __init__(self, cfg: Config, n_words: int, word_embeddings=None):
         self.cfg = cfg
         self.net = Seq2SeqNet(pose_dim=cfg.pose_dim, n_frames=cfg.n_poses,
@@ -358,6 +364,8 @@ class Seq2SeqSystem:
 # ---------------------------------------------------------------------------
 class S2GSystem:
     """speech2gesture LS-GAN (train_speech2gesture.py)."""
+
+    batch_keys = ('spec', 'target', 'vids')
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -464,6 +472,8 @@ class S2GSystem:
 class MotionAESystem:
     """TED Expressive FGD embedder trainer
     (train_feature_extractor_expressive.py)."""
+
+    batch_keys = ('target', 'vids')
 
     def __init__(self, cfg: Config):
         self.cfg = cfg

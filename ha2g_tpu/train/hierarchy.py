@@ -57,6 +57,9 @@ class HierarchyState:
 class HierarchySystem:
     """Owns module definitions + pure train/eval functions."""
 
+    # fields the train step consumes (loader ships only these)
+    batch_keys = ("text", "spec", "target", "vids")
+
     def __init__(self, cfg: Config, n_words: int, n_speakers: int,
                  word_embeddings=None):
         self.cfg = cfg

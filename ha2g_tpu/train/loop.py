@@ -73,8 +73,13 @@ class Trainer:
             lang.word_embedding_weights)
         self.mesh = data_mesh(cfg.dp_devices) if use_mesh else None
         sharding = batch_sharding(self.mesh) if self.mesh else None
-        self.train_loader = BatchLoader(train_samples, cfg.batch_size,
-                                        shuffle=True, sharding=sharding)
+        # the train loader ships only the fields the system consumes —
+        # the hierarchy model never reads the raw 16 kHz audio (~37 MB per
+        # 256-batch) and shipping it dominated CLI step time over this
+        # TPU's tunnel
+        self.train_loader = BatchLoader(
+            train_samples, cfg.batch_size, shuffle=True, sharding=sharding,
+            keys=getattr(self.system, "batch_keys", None))
         # Drop the odd-sized remainder batch (as the reference's val loader
         # effectively does) so eval_step compiles exactly once per run; a
         # second batch shape costs a fresh XLA compile every epoch.  When the
@@ -117,7 +122,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self):
-        batch = next(iter(self.train_loader))
+        try:
+            batch = next(iter(self.train_loader))
+        except StopIteration:
+            raise ValueError(
+                f"training set ({len(self.train_loader.s)} windows) "
+                f"is smaller than batch_size {self.cfg.batch_size}; reduce "
+                "--batch_size or provide more data") from None
         state = self.system.init(self.rng, batch)
         if self.mesh is not None:
             state = jax.device_put(state, replicate(self.mesh))

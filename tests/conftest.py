@@ -19,3 +19,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls in tests: we compare against torch/numpy references
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: the suite is compile-dominated on this
+# 1-vCPU host (round-1 wall time 27 min); repeat runs reuse compiled
+# programs across processes
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/ha2g_jax_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
