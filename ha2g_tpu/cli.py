@@ -377,6 +377,29 @@ def cmd_import_lmdb(argv):
     return 0
 
 
+def cmd_serve(argv):
+    """Persistent gesture-synthesis server: warm compiled model,
+    micro-batching across concurrent requests, HTTP/JSON API
+    (ha2g_tpu/serve.py)."""
+    from ha2g_tpu.serve import serve_forever
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8017)
+    p.add_argument("--max_clip_seconds", type=float, default=20.0)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--batch_window_ms", type=float, default=30.0)
+    p.add_argument("--no_low_latency", action="store_true",
+                   help="disable the Pallas fused-GRU generators")
+    a = p.parse_args(argv)
+    serve_forever(a.checkpoint, a.host, a.port,
+                  max_clip_seconds=a.max_clip_seconds,
+                  max_batch=a.max_batch,
+                  batch_window_ms=a.batch_window_ms,
+                  low_latency=not a.no_low_latency)
+    return 0
+
+
 def cmd_make_librosa_goldens(argv):
     """Generate the DSP golden fixture AGAINST LIBROSA ITSELF (run in an
     env with librosa 0.8; see tests/test_mel_oracles.py)."""
@@ -493,6 +516,7 @@ def main():
             "import-evalnet": cmd_import_evalnet,
             "import-embeddings": cmd_import_embeddings,
             "make-librosa-goldens": cmd_make_librosa_goldens,
+            "serve": cmd_serve,
             "parse-reference-log": cmd_parse_reference_log,
             "compare-trajectory": cmd_compare_trajectory}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:

@@ -130,6 +130,7 @@ class Vocab:
     def to_dict(self) -> dict:
         return {"name": self.name,
                 "insert_default_tokens": self.insert_default_tokens,
+                "n_words": self.n_words,
                 "index2word": {str(k): v for k, v in self.index2word.items()},
                 "word2count": self.word2count}
 
@@ -139,13 +140,20 @@ class Vocab:
         counts = d.get("word2count", {})
         items = sorted(((int(k), w) for k, w in d["index2word"].items()))
         for idx, word in items:
-            if idx >= v.n_words:
-                v.word2index[word] = idx
-                v.index2word[idx] = word
-                # preserve counts so Vocab.trimmed workflows survive a
-                # save/load round trip (older files lack them; default 1)
-                v.word2count[word] = int(counts.get(word, 1))
-                v.n_words = idx + 1
+            if v.index2word.get(idx) == word and word not in counts:
+                continue  # reset-time placeholder (<PAD>/<UNK>/...)
+            v.word2index[word] = idx
+            v.index2word[idx] = word
+            # preserve counts so Vocab.trimmed workflows survive a
+            # save/load round trip (older files lack them; default 1)
+            v.word2count[word] = int(counts.get(word, 1))
+            v.n_words = max(v.n_words, idx + 1)
+        # n_words is NOT max(index)+1 in general: with
+        # insert_default_tokens=False the <UNK> placeholder sits at index
+        # 3 while real entries start at 1 (reference vocab.py quirk,
+        # inherited); restore the recorded count exactly
+        if "n_words" in d:
+            v.n_words = int(d["n_words"])
         return v
 
     def save(self, path: str | Path):

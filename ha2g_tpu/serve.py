@@ -1,0 +1,233 @@
+"""Production serving for gesture synthesis.
+
+The reference stops at batch scripts (synthesize*.py); this module adds
+the deployment surface a production user needs: a persistent process
+holding the WARM compiled model (first compile is paid once, at startup),
+micro-batching across concurrent requests (independent clips batch on the
+leading axis — the synthesis engine's natural parallelism), and a plain
+HTTP/JSON API with no extra dependencies (stdlib http.server).
+
+  python -m ha2g_tpu.cli serve <checkpoint_dir> --port 8017
+
+  POST /synthesize   {"audio": [..f32 16 kHz pcm..] | base64,
+                      "words": [["hello", 0.1, 0.4], ...],
+                      "vid": 0, "fused": true}
+      -> {"dir_vec": base64 float32, "shape": [T, pose_dim],
+          "fps": 15, "latency_ms": ...}
+  GET  /healthz      -> {"ok": true, "model": ..., "pose_dim": ...}
+  GET  /stats        -> request/batch counters
+
+Batching model: requests arriving within `batch_window_ms` of each other
+are padded to the server's fixed clip length (one compiled program — no
+shape churn) and synthesized as ONE device call; each response is sliced
+back to its own true duration.  Throughput therefore scales with
+concurrency at near-constant latency until the batch cap.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Empty, Queue
+
+import numpy as np
+
+SR = 16000
+
+
+@dataclass
+class _Request:
+    audio: np.ndarray            # (n_samples,) float32
+    words: list
+    vid: int
+    fused: bool
+    done: threading.Event = field(default_factory=threading.Event)
+    result: np.ndarray | None = None
+    error: str | None = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+class GestureService:
+    """Checkpoint -> warm synthesizer + micro-batching loop (no HTTP)."""
+
+    def __init__(self, checkpoint: str, max_clip_seconds: float = 20.0,
+                 max_batch: int = 16, batch_window_ms: float = 30.0,
+                 low_latency: bool = True, warm: bool = True):
+        from ha2g_tpu.cli import _load_checkpoint_system
+        from ha2g_tpu.synthesis import make_synthesizer
+
+        (self.cfg, self.lang, self.speaker, self.system,
+         self.state) = _load_checkpoint_system(checkpoint)
+        self.synth = make_synthesizer(self.system, self.state,
+                                      low_latency=low_latency)
+        self.max_clip_seconds = float(max_clip_seconds)
+        self.max_batch = int(max_batch)
+        self.batch_window = batch_window_ms / 1000.0
+        self.n_samples = int(self.max_clip_seconds * SR)
+        self.fps = self.cfg.motion_resampling_framerate
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "frames": 0}
+        self._q: Queue[_Request] = Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        if warm:
+            self.warmup()
+
+    # ------------------------------------------------------------------
+    def warmup(self):
+        """Compile both paths at startup so no request pays the jit."""
+        silent = np.zeros(self.n_samples, np.float32)
+        for fused in (True, False) if hasattr(self.synth, "generate_fused") \
+                else (False,):
+            self.submit(silent, [], 0, fused=fused).done.wait()
+
+    def submit(self, audio: np.ndarray, words, vid: int,
+               fused: bool = True) -> _Request:
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if audio.shape[0] > self.n_samples:
+            audio = audio[: self.n_samples]
+        req = _Request(audio=audio, words=list(words), vid=int(vid),
+                       fused=bool(fused))
+        self._q.put(req)
+        return req
+
+    def synthesize(self, audio, words, vid: int = 0, fused: bool = True,
+                   timeout: float = 120.0) -> np.ndarray:
+        req = self.submit(audio, words, vid, fused)
+        if not req.done.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.batch_window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except Empty:
+                    break
+            # one device call per (fused-flag) group
+            for fused in (True, False):
+                group = [r for r in batch if r.fused == fused]
+                if group:
+                    self._run(group, fused)
+
+    def _run(self, group: list[_Request], fused: bool):
+        try:
+            B = len(group)
+            audio = np.zeros((B, self.n_samples), np.float32)
+            for i, r in enumerate(group):
+                audio[i, : len(r.audio)] = r.audio
+            words = [r.words for r in group]
+            vids = np.asarray([r.vid for r in group], np.int32)
+            if fused and hasattr(self.synth, "generate_fused"):
+                out = self.synth.generate_fused(audio, words, self.lang,
+                                                vids)
+            else:
+                out = self.synth.generate(audio, words, self.lang, vids)
+            self.stats["batches"] += 1
+            for i, r in enumerate(group):
+                true_frames = min(
+                    out.shape[1],
+                    max(1, int(round(len(r.audio) / SR * self.fps))))
+                r.result = out[i, :true_frames]
+                self.stats["requests"] += 1
+                self.stats["frames"] += int(true_frames)
+                r.done.set()
+        except Exception as e:  # noqa: BLE001 — serving must not die
+            self.stats["errors"] += len(group)
+            for r in group:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end
+# ---------------------------------------------------------------------------
+
+def _decode_audio(payload) -> np.ndarray:
+    if isinstance(payload, str):  # base64 of float32 little-endian pcm
+        return np.frombuffer(base64.b64decode(payload), "<f4").copy()
+    return np.asarray(payload, np.float32)
+
+
+def make_http_server(service: GestureService, host: str = "127.0.0.1",
+                     port: int = 8017) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "model": service.cfg.model,
+                                 "dataset": service.cfg.dataset,
+                                 "pose_dim": service.cfg.pose_dim,
+                                 "fps": service.fps,
+                                 "max_clip_seconds":
+                                 service.max_clip_seconds})
+            elif self.path == "/stats":
+                self._json(200, dict(service.stats))
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                t0 = time.perf_counter()
+                out = service.synthesize(
+                    _decode_audio(req["audio"]),
+                    req.get("words", []), int(req.get("vid", 0)),
+                    fused=bool(req.get("fused", True)))
+                out32 = np.ascontiguousarray(out, "<f4")
+                self._json(200, {
+                    "dir_vec": base64.b64encode(out32.tobytes()).decode(),
+                    "shape": list(out32.shape), "fps": service.fps,
+                    "latency_ms": round(
+                        (time.perf_counter() - t0) * 1000, 1)})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(checkpoint: str, host: str = "127.0.0.1",
+                  port: int = 8017, **kw):
+    service = GestureService(checkpoint, **kw)
+    httpd = make_http_server(service, host, port)
+    print(f"serving {service.cfg.model}/{service.cfg.dataset} "
+          f"on http://{host}:{port} (warm)")
+    try:
+        httpd.serve_forever()
+    finally:
+        service.close()

@@ -206,6 +206,10 @@ def test_resume_continues_training(tmp_path):
     tr2 = Trainer(cfg, samples, samples, lang, speaker, use_mesh=False)
     state2, hist2 = tr2.fit(epochs=4, save_path=str(tmp_path / "resumed"),
                             resume_from=str(tmp_path / "checkpoint_final"))
-    # resumed run starts where the first ended (epoch 2) and improves
-    assert hist2[0]["loss"] <= hist1[0]["loss"]
+    # the restored state's first eval reproduces the first run's FINAL
+    # eval (same params, same eval rng): the actual resume guarantee —
+    # and a far stronger check than the old "improved vs epoch 0", whose
+    # 1e-4 margin was at the mercy of XLA CPU reduction ordering
+    assert np.isclose(hist2[0]["loss"], hist1[-1]["loss"],
+                      rtol=1e-5, atol=1e-6)
     assert int(state2.step) > int(state1.step)

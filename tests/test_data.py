@@ -91,3 +91,73 @@ def test_merge_clips(tmp_path):
     assert len(merged) == 5
     np.testing.assert_allclose(merged[0]["skeletons_3d"], a[0]["skeletons_3d"])
     np.testing.assert_allclose(merged[2]["skeletons_3d"], b[0]["skeletons_3d"])
+
+
+def test_loader_prefetch_yields_identical_batches():
+    from ha2g_tpu.data.loader import BatchLoader
+    from ha2g_tpu.data.synthetic import synthetic_clips, default_mean_dir_vec
+    from ha2g_tpu.data.dataset import window_clips
+    from ha2g_tpu.data.vocab import Vocab, build_vocab
+    from ha2g_tpu.skeleton import TED_GESTURE
+    import numpy as np
+
+    clips = synthetic_clips(TED_GESTURE, n_clips=4, clip_seconds=6.0, seed=5)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    samples = window_clips(
+        clips, spec=TED_GESTURE, lang=lang, speaker=speaker,
+        mean_pose=np.zeros(TED_GESTURE.n_joints * 3, np.float32),
+        mean_dir_vec=default_mean_dir_vec(TED_GESTURE), n_poses=34,
+        subdivision_stride=10, fps=15, static_joints=(6, 9))
+
+    a = list(BatchLoader(samples, 4, shuffle=True, seed=3, prefetch=0))
+    b = list(BatchLoader(samples, 4, shuffle=True, seed=3, prefetch=2))
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(np.asarray(x[k]), np.asarray(y[k]))
+
+    # abandoning iteration early must not deadlock or leak the worker
+    import threading
+    before = threading.active_count()
+    for _ in range(8):
+        loader = BatchLoader(samples, 4, prefetch=2)
+        _ = next(iter(loader))
+    import time
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
+
+
+def test_loader_prefetch_full_queue_at_epoch_end():
+    """Regression: the end-of-epoch sentinel must be delivered even when
+    the prefetch queue is full when the producer finishes (a dropped
+    sentinel hangs the consumer forever)."""
+    import time
+    from ha2g_tpu.data.loader import BatchLoader
+    from ha2g_tpu.data.synthetic import synthetic_clips, default_mean_dir_vec
+    from ha2g_tpu.data.dataset import window_clips
+    from ha2g_tpu.data.vocab import Vocab, build_vocab
+    from ha2g_tpu.skeleton import TED_GESTURE
+    import numpy as np
+
+    clips = synthetic_clips(TED_GESTURE, n_clips=4, clip_seconds=6.0, seed=6)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    samples = window_clips(
+        clips, spec=TED_GESTURE, lang=lang, speaker=speaker,
+        mean_pose=np.zeros(TED_GESTURE.n_joints * 3, np.float32),
+        mean_dir_vec=default_mean_dir_vec(TED_GESTURE), n_poses=34,
+        subdivision_stride=10, fps=15, static_joints=(6, 9))
+    loader = BatchLoader(samples, 4, prefetch=2)
+    # slow consumer: let the producer finish and fill the queue first
+    got = 0
+    it = iter(loader)
+    time.sleep(1.0)
+    for _ in it:
+        got += 1
+        time.sleep(0.05)
+    assert got == len(loader)

@@ -1,0 +1,134 @@
+"""Serving layer: micro-batching service + HTTP front-end
+(ha2g_tpu/serve.py) driven end to end against a tiny trained-from-init
+checkpoint."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    from ha2g_tpu.checkpoint import save_checkpoint
+    from ha2g_tpu.cli import _dummy_batch
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.data.synthetic import default_mean_dir_vec
+    from ha2g_tpu.data.vocab import Vocab
+    from ha2g_tpu.skeleton import TED_GESTURE
+    from ha2g_tpu.train.loop import build_system
+
+    cfg = Config(model="hierarchy", dataset="ted_gesture", pose_dim=27,
+                 hidden_size=16, n_layers=2,
+                 mean_dir_vec=list(map(float,
+                                       default_mean_dir_vec(TED_GESTURE))))
+    lang = Vocab("words")
+    for i in range(8):
+        lang.index_word(f"w{i}")
+    lang.random_word_vectors(cfg.wordembed_dim)
+    speaker = Vocab("vid", insert_default_tokens=False)
+    speaker.index_word("s0")
+    system = build_system(cfg, lang.n_words, max(speaker.n_words, 1),
+                          lang.word_embedding_weights)
+    state = system.init(jax.random.PRNGKey(0), _dummy_batch(cfg))
+    out = tmp_path_factory.mktemp("ckpt") / "checkpoint"
+    save_checkpoint(out, state, cfg, lang, speaker, extra={"epoch": 0})
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def service(tiny_checkpoint):
+    from ha2g_tpu.serve import GestureService
+    svc = GestureService(tiny_checkpoint, max_clip_seconds=4.0,
+                         max_batch=8, batch_window_ms=80.0,
+                         low_latency=False, warm=False)
+    yield svc
+    svc.close()
+
+
+def test_concurrent_requests_micro_batch(service):
+    rng = np.random.default_rng(0)
+    durations = [4.0, 2.5]
+    results = {}
+
+    def call(i, dur):
+        audio = rng.normal(size=int(dur * SR)).astype(np.float32) * 0.1
+        words = [("w1", 0.2, 0.5), ("w2", 1.0, 1.3)]
+        results[i] = service.synthesize(audio, words, vid=0, fused=False,
+                                        timeout=600)
+
+    threads = [threading.Thread(target=call, args=(i, d))
+               for i, d in enumerate(durations)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i, dur in enumerate(durations):
+        out = results[i]
+        assert out.shape[1] == 27
+        # sliced back to the request's true duration
+        assert out.shape[0] == int(round(dur * service.fps))
+        assert np.isfinite(out).all()
+    assert service.stats["requests"] >= 2
+    # both landed in one device call (same fused group, within the window)
+    assert service.stats["batches"] <= 2
+
+
+def test_http_round_trip(service):
+    from ha2g_tpu.serve import make_http_server
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["pose_dim"] == 27
+
+        audio = (np.random.default_rng(1).normal(size=SR)
+                 .astype("<f4") * 0.1)
+        body = json.dumps({
+            "audio": base64.b64encode(audio.tobytes()).decode(),
+            "words": [["w1", 0.1, 0.3]], "vid": 0,
+            "fused": False}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            resp = json.loads(r.read())
+        arr = np.frombuffer(base64.b64decode(resp["dir_vec"]), "<f4")
+        assert list(arr.reshape(resp["shape"]).shape) == resp["shape"]
+        assert resp["shape"][0] == int(round(1.0 * service.fps))
+        assert resp["shape"][1] == 27
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 3 and stats["errors"] == 0
+    finally:
+        httpd.shutdown()
+
+
+def test_http_error_path(service):
+    from ha2g_tpu.serve import make_http_server
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+    finally:
+        httpd.shutdown()
