@@ -69,6 +69,12 @@ class GestureService:
         self.batch_window = batch_window_ms / 1000.0
         self.n_samples = int(self.max_clip_seconds * SR)
         self.fps = self.cfg.motion_resampling_framerate
+        # every device call is padded to one of these batch sizes so the
+        # fleet of compiled programs is FIXED (a fresh batch size means a
+        # fresh multi-second XLA compile — fatal for serving latency);
+        # warmup() compiles each bucket once at startup
+        self.buckets = sorted({1, 4, self.max_batch} | (
+            {b for b in (8,) if b < self.max_batch}))
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "frames": 0}
         self._q: Queue[_Request] = Queue()
@@ -80,11 +86,17 @@ class GestureService:
 
     # ------------------------------------------------------------------
     def warmup(self):
-        """Compile both paths at startup so no request pays the jit."""
+        """Compile every (bucket, path) program at startup so no request
+        pays an XLA compile."""
         silent = np.zeros(self.n_samples, np.float32)
-        for fused in (True, False) if hasattr(self.synth, "generate_fused") \
-                else (False,):
-            self.submit(silent, [], 0, fused=fused).done.wait()
+        fused_opts = (True, False) if hasattr(self.synth, "generate_fused") \
+            else (False,)
+        for fused in fused_opts:
+            for bucket in self.buckets:
+                reqs = [self.submit(silent, [], 0, fused=fused)
+                        for _ in range(bucket)]
+                for r in reqs:
+                    r.done.wait()
 
     def submit(self, audio: np.ndarray, words, vid: int,
                fused: bool = True) -> _Request:
@@ -134,12 +146,15 @@ class GestureService:
 
     def _run(self, group: list[_Request], fused: bool):
         try:
-            B = len(group)
+            # pad to the smallest compiled bucket >= group size
+            B = next(b for b in self.buckets if b >= len(group))
             audio = np.zeros((B, self.n_samples), np.float32)
             for i, r in enumerate(group):
                 audio[i, : len(r.audio)] = r.audio
-            words = [r.words for r in group]
-            vids = np.asarray([r.vid for r in group], np.int32)
+            words = [r.words for r in group] + \
+                [[] for _ in range(B - len(group))]
+            vids = np.zeros(B, np.int32)
+            vids[: len(group)] = [r.vid for r in group]
             if fused and hasattr(self.synth, "generate_fused"):
                 out = self.synth.generate_fused(audio, words, self.lang,
                                                 vids)
