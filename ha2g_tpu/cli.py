@@ -489,9 +489,9 @@ def cmd_compare_trajectory(argv):
     print(tj.format_report(report))
     if a.json_out:
         Path(a.json_out).write_text(json.dumps(report, indent=1))
-    behind = [k for k, e in report["metrics"].items()
-              if e["verdict"] == "BEHIND"]
-    return 1 if behind else 0
+    bad = [k for k, e in report["metrics"].items()
+           if e["verdict"] in ("BEHIND", "INSUFFICIENT_REF")]
+    return 1 if bad else 0
 
 
 def _enable_compilation_cache():

@@ -146,18 +146,26 @@ def load_model(path: str | Path) -> FastTextModel:
         size, nwords, nlabels = struct.unpack("<iii", f.read(12))
         _ntokens, pruneidx_size = struct.unpack("<qq", f.read(16))
         words, counts = [], []
-        buf = bytearray()
-        # entries: cstring + int64 count + int8 type; read buffered
+        # entries: cstring + int64 count + int8 type.  Read in large
+        # chunks and split on NULs — per-byte reads make the crawl
+        # model's 2M-entry dictionary take tens of seconds
+        buf = b""
+        pos = 0
+        CHUNK = 1 << 20
         for _ in range(size):
-            while True:
-                b = f.read(1)
-                if not b or b == b"\x00":
-                    break
-                buf += b
-            words.append(buf.decode("utf-8", errors="replace"))
-            buf.clear()
-            count, _etype = struct.unpack("<qb", f.read(9))
+            nul = buf.find(b"\x00", pos)
+            while nul < 0 or len(buf) - nul - 1 < 9:
+                more = f.read(CHUNK)
+                if not more:
+                    raise ValueError("truncated fastText dictionary")
+                buf = buf[pos:] + more
+                pos = 0
+                nul = buf.find(b"\x00", pos)
+            words.append(buf[pos:nul].decode("utf-8", errors="replace"))
+            count, _etype = struct.unpack_from("<qb", buf, nul + 1)
             counts.append(count)
+            pos = nul + 10
+        f.seek(pos - len(buf), 1)  # rewind unconsumed chunk bytes
         pruneidx = None
         if pruneidx_size >= 0:
             pruneidx = {}

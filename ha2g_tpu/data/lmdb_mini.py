@@ -68,9 +68,19 @@ class MiniLmdbReader:
     """Read-only cursor over an LMDB environment's main database."""
 
     def __init__(self, path: str | Path):
-        self.buf = memoryview(bytearray(_data_path(path).read_bytes()))
+        import mmap
+        # memory-map: the released TED environments are tens of GB and
+        # must not be materialized in RAM
+        self._f = open(_data_path(path), "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self.buf = memoryview(self._mm)
         metas = [self._read_meta(0), self._read_meta(1)]
         self.meta = max(metas, key=lambda m: m["txnid"])
+
+    def close(self):
+        self.buf.release()
+        self._mm.close()
+        self._f.close()
 
     def _read_meta(self, pgno: int) -> dict:
         off = pgno * PAGE + HDR

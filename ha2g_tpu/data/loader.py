@@ -77,27 +77,29 @@ class BatchLoader:
         stop = threading.Event()
         _END = object()
 
+        def patient_put(item):
+            # the queue may be full when the epoch ends normally; dropping
+            # the sentinel/error here would hang the consumer
+            while True:
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False  # consumer is gone
+
         def worker():
             try:
                 for b in self._gather():
-                    while not stop.is_set():
-                        try:
-                            q.put(b, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not patient_put(b):
                         return
-            finally:
-                # patient put: the queue may be full when the epoch ends
-                # normally; dropping _END here would hang the consumer
-                while True:
-                    try:
-                        q.put(_END, timeout=0.1)
-                        break
-                    except queue.Full:
-                        if stop.is_set():
-                            break  # consumer is gone
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # surface producer failures in the consumer thread: a
+                # swallowed exception here would read as a silent empty
+                # epoch
+                patient_put(e)
+                return
+            patient_put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -106,6 +108,8 @@ class BatchLoader:
                 b = q.get()
                 if b is _END:
                     break
+                if isinstance(b, BaseException):
+                    raise b
                 yield self._place(b)
         finally:
             # consumer may abandon iteration (e.g. next(iter(loader))):

@@ -200,6 +200,10 @@ def compare_trajectories(ref: Trajectory, ours: Trajectory,
                      our_epoch=ob[1], noise=band)
         if margin >= 0:
             entry["verdict"] = "BEATS"
+        elif math.isinf(band):
+            # too few reference epochs to estimate run-to-run noise: an
+            # infinite band must not silently bless a regression
+            entry["verdict"] = "INSUFFICIENT_REF"
         elif -margin <= band:
             entry["verdict"] = "WITHIN_NOISE"
         else:

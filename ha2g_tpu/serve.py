@@ -48,6 +48,7 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     error: str | None = None
+    truncated_from: float | None = None  # original seconds, if clipped
     t_enqueue: float = field(default_factory=time.perf_counter)
 
 
@@ -73,8 +74,8 @@ class GestureService:
         # fleet of compiled programs is FIXED (a fresh batch size means a
         # fresh multi-second XLA compile — fatal for serving latency);
         # warmup() compiles each bucket once at startup
-        self.buckets = sorted({1, 4, self.max_batch} | (
-            {b for b in (8,) if b < self.max_batch}))
+        self.buckets = sorted({b for b in (1, 4, 8, self.max_batch)
+                               if b <= self.max_batch})
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "frames": 0}
         self._q: Queue[_Request] = Queue()
@@ -101,10 +102,12 @@ class GestureService:
     def submit(self, audio: np.ndarray, words, vid: int,
                fused: bool = True) -> _Request:
         audio = np.asarray(audio, np.float32).reshape(-1)
+        truncated_from = None
         if audio.shape[0] > self.n_samples:
+            truncated_from = audio.shape[0] / SR
             audio = audio[: self.n_samples]
         req = _Request(audio=audio, words=list(words), vid=int(vid),
-                       fused=bool(fused))
+                       fused=bool(fused), truncated_from=truncated_from)
         self._q.put(req)
         return req
 
@@ -219,15 +222,21 @@ def make_http_server(service: GestureService, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
+                audio = _decode_audio(req["audio"])
+                sent_s = len(audio) / SR
                 t0 = time.perf_counter()
                 out = service.synthesize(
-                    _decode_audio(req["audio"]),
-                    req.get("words", []), int(req.get("vid", 0)),
+                    audio, req.get("words", []), int(req.get("vid", 0)),
                     fused=bool(req.get("fused", True)))
                 out32 = np.ascontiguousarray(out, "<f4")
+                covered = min(sent_s, service.max_clip_seconds)
                 self._json(200, {
                     "dir_vec": base64.b64encode(out32.tobytes()).decode(),
                     "shape": list(out32.shape), "fps": service.fps,
+                    # clips beyond max_clip_seconds are covered only up to
+                    # the cap — surfaced, never silent
+                    "covered_seconds": round(covered, 3),
+                    "truncated": sent_s > service.max_clip_seconds,
                     "latency_ms": round(
                         (time.perf_counter() - t0) * 1000, 1)})
             except Exception as e:  # noqa: BLE001

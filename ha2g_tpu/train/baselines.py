@@ -77,11 +77,13 @@ def _rngs(k):
 class EmbedSystem:
     """gesture_autoencoder (mode='pose') and joint_embedding (mode='random')."""
 
-    batch_keys = ('text', 'audio', 'target', 'vids')
-
     def __init__(self, cfg: Config, n_words: int = 0, word_embeddings=None):
         self.cfg = cfg
         self.mode = "pose" if cfg.model == "gesture_autoencoder" else "random"
+        # pose mode (_net_args) never touches text/audio — don't ship the
+        # ~37 MB/256-batch raw audio to a model that ignores it
+        self.batch_keys = ("target", "vids") if self.mode == "pose" \
+            else ("text", "audio", "target", "vids")
         self.net = EmbeddingNet(pose_dim=cfg.pose_dim, n_frames=cfg.n_poses,
                                 mode=self.mode, n_words=n_words,
                                 word_embed_dim=cfg.wordembed_dim,

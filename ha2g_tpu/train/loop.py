@@ -229,6 +229,10 @@ class Trainer:
         # reference training logs, eval/trajectory.py)
         history_path = save_path / "history.jsonl"
         save_path.mkdir(parents=True, exist_ok=True)
+        if not resume_from and history_path.exists():
+            # fresh run: a stale trajectory appended to would poison
+            # compare-trajectory's best_of; resumed runs keep appending
+            history_path.unlink()
 
         def _record(val_row: dict, epoch_no: int):
             row = {"epoch": epoch_no, **{k: float(v)

@@ -161,3 +161,30 @@ def test_loader_prefetch_full_queue_at_epoch_end():
         got += 1
         time.sleep(0.05)
     assert got == len(loader)
+
+
+def test_loader_prefetch_propagates_worker_errors():
+    """A failing producer must raise in the consumer, not end the epoch
+    silently (code-review round 2 finding)."""
+    from ha2g_tpu.data.loader import BatchLoader
+    from ha2g_tpu.data.synthetic import synthetic_clips, default_mean_dir_vec
+    from ha2g_tpu.data.dataset import window_clips
+    from ha2g_tpu.data.vocab import Vocab, build_vocab
+    from ha2g_tpu.skeleton import TED_GESTURE
+    import numpy as np
+    import pytest
+
+    clips = synthetic_clips(TED_GESTURE, n_clips=2, clip_seconds=6.0, seed=7)
+    lang = build_vocab("words", [clips])
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for c in clips:
+        speaker.index_word(c["vid"])
+    samples = window_clips(
+        clips, spec=TED_GESTURE, lang=lang, speaker=speaker,
+        mean_pose=np.zeros(TED_GESTURE.n_joints * 3, np.float32),
+        mean_dir_vec=default_mean_dir_vec(TED_GESTURE), n_poses=34,
+        subdivision_stride=10, fps=15, static_joints=(6, 9))
+    loader = BatchLoader(samples, 4, prefetch=2,
+                         keys=("target", "no_such_field"))
+    with pytest.raises(AttributeError):
+        list(loader)
