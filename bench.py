@@ -42,7 +42,11 @@ def main():
     B = 256                      # independent clips synthesized together
     clip_seconds = 20.0
     sr = 16000
-    audio = rng.normal(size=(B, int(clip_seconds * sr))).astype(np.float32) * 0.1
+    # int16 PCM, the native wav sample format: halves the host->device
+    # upload, which dominates the call on this TPU's tunnel; the engine
+    # dequantizes on device (ops/mel.py batched_log_mel_i16)
+    audio = (rng.normal(size=(B, int(clip_seconds * sr))) * 0.1
+             * 32767).clip(-32768, 32767).astype(np.int16)
     words = [[(f"w{rng.integers(0, 40)}", float(t), float(t + 0.3))
               for t in np.arange(0.3, clip_seconds - 0.5, 0.45)]
              for _ in range(B)]

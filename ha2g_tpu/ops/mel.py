@@ -153,9 +153,22 @@ def log_mel_spectrogram(y: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP,
     return power_to_db(mel).T                         # (n_mels, F)
 
 
-def batched_log_mel(y: jnp.ndarray) -> jnp.ndarray:
-    """(B, n_samples) -> (B, n_mels, n_frames); per-clip dB referencing."""
-    return jax.vmap(log_mel_spectrogram)(y)
+# NOTE jit-of-vmap, not bare vmap: vmap over the inner jit dispatches the
+# DFT/mel ops one by one (each a ~34 ms host->device round trip on this
+# TPU's tunnel — measured 10.6 s for a 256x20s batch vs 0.25 s fused)
+batched_log_mel = jax.jit(jax.vmap(log_mel_spectrogram))
+batched_log_mel.__doc__ = \
+    "(B, n_samples) -> (B, n_mels, n_frames); per-clip dB referencing."
+
+
+@jax.jit
+def batched_log_mel_i16(pcm: jnp.ndarray) -> jnp.ndarray:
+    """int16 PCM variant: wav files carry 16-bit samples natively, and the
+    host->device audio upload dominates batch synthesis on this TPU's
+    tunnel — shipping PCM halves it.  Dequantizes on device with the
+    soundfile/librosa convention (x / 32768)."""
+    return jax.vmap(log_mel_spectrogram)(
+        pcm.astype(jnp.float32) / 32768.0)
 
 
 # ---------------------------------------------------------------------------

@@ -29,11 +29,21 @@ import jax.numpy as jnp
 from ha2g_tpu.config import Config
 from ha2g_tpu.data.dataset import spectrogram_length_for
 from ha2g_tpu.data.vocab import EOS_TOKEN, SOS_TOKEN, Vocab
-from ha2g_tpu.ops.mel import log_mel_spectrogram
+from ha2g_tpu.ops.mel import (batched_log_mel,
+                              batched_log_mel_i16, log_mel_spectrogram)
 from ha2g_tpu.skeleton import SkeletonSpec
 from ha2g_tpu.train.cascade import run_cascade
 
 SR = 16000
+
+
+def _mel_any(audio: np.ndarray):
+    """Batched device mel for float32 audio or int16 PCM.  int16 halves
+    the host->device upload (the dominant cost of batch synthesis over
+    this TPU's tunnel); dequantization happens on device."""
+    if np.asarray(audio).dtype == np.int16:
+        return batched_log_mel_i16(jnp.asarray(audio))
+    return batched_log_mel(jnp.asarray(audio))
 
 
 def _window_layout(cfg: Config, clip_seconds: float):
@@ -110,6 +120,11 @@ class SlidingWindowSynthesizer:
         """audio (B, n_samples); words_per_clip: list of B word lists;
         vids (B,) -> (B, total_frames, pose_dim)."""
         cfg = self.cfg
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16 and self.uses_audio:
+            # raw-waveform models consume float audio; the int16 fast path
+            # only helps spectrogram models (dequantized on device)
+            audio = audio.astype(np.float32) / 32768.0
         B, n_samples = audio.shape
         clip_seconds = n_samples / SR
         unit_time, stride_time, num_sub = _window_layout(cfg, clip_seconds)
@@ -120,8 +135,7 @@ class SlidingWindowSynthesizer:
 
         full_spec = None
         if self.uses_spec:
-            full_spec = np.asarray(jax.vmap(log_mel_spectrogram)(
-                jnp.asarray(audio)))
+            full_spec = np.asarray(_mel_any(audio))
         end_padding = 0.0
 
         out_list: list[np.ndarray] = []
@@ -288,7 +302,7 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                                           cfg.motion_resampling_framerate)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        full_spec = jax.vmap(log_mel_spectrogram)(jnp.asarray(audio))
+        full_spec = _mel_any(audio)
         S_total = full_spec.shape[2]
         s0_all = np.asarray(
             [math.floor(i * stride_time / clip_seconds * S_total)

@@ -51,3 +51,19 @@ def test_batched_matches_per_clip():
     for i in range(3):
         single = np.asarray(mel.log_mel_spectrogram(jnp.asarray(y[i])))
         np.testing.assert_allclose(batched[i], single, atol=5e-4)
+
+
+def test_batched_log_mel_i16_matches_float_path():
+    """int16 PCM fast path: dequantize-on-device must equal the float
+    pipeline fed the same dequantized signal."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ha2g_tpu.ops.mel import batched_log_mel, batched_log_mel_i16
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.normal(size=(3, 16000)) * 3000).clip(-32768, 32767) \
+        .astype(np.int16)
+    a = np.asarray(batched_log_mel_i16(jnp.asarray(pcm)))
+    b = np.asarray(batched_log_mel(
+        jnp.asarray(pcm.astype(np.float32) / 32768.0)))
+    np.testing.assert_allclose(a, b, atol=1e-4)
