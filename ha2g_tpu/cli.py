@@ -70,6 +70,23 @@ def _prepare(cfg):
         return (cfg, lang, speaker, _h36m_samples(cfg, True),
                 _h36m_samples(cfg, False))
 
+    if Path(cfg.train_data_path, "samples.npz").exists():
+        # pre-windowed samples from `import-lmdb --format cache`
+        from ha2g_tpu.data.lmdb_import import load_imported_samples
+        train_s, lang, speaker = load_imported_samples(cfg.train_data_path)
+        val_path = cfg.test_data_path or cfg.val_data_path
+        if val_path and Path(val_path, "samples.npz").exists():
+            val_s, _, _ = load_imported_samples(val_path)
+        else:
+            val_s = train_s
+        if cfg.wordembed_path and Path(cfg.wordembed_path).exists():
+            lang.load_word_vectors(cfg.wordembed_path, cfg.wordembed_dim)
+        else:
+            lang.random_word_vectors(cfg.wordembed_dim)
+        logging.info(f"imported samples: train {len(train_s)}, "
+                     f"val {len(val_s)}, vocab {lang.n_words} words")
+        return cfg, lang, speaker, train_s, val_s
+
     train_clips = _load_split(cfg.train_data_path, cfg, 0)
     # the reference driver validates on the TEST loader each epoch
     # (train.py:652-724 passes test_loader to train_epochs); prefer
@@ -366,14 +383,26 @@ def cmd_import_evalnet(argv):
 
 
 def cmd_import_lmdb(argv):
-    from ha2g_tpu.data.lmdb_import import import_lmdb
+    from ha2g_tpu.data.lmdb_import import import_cache_lmdb, import_lmdb
     p = argparse.ArgumentParser()
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--format", choices=("source", "cache"),
+                   default="source",
+                   help="'source' = per-video {vid, clips} lmdb "
+                        "(lmdb_train/...); 'cache' = the preprocessed "
+                        "per-sample lmdb_*_cache directories")
+    p.add_argument("--n_poses", type=int, default=34)
+    p.add_argument("--fps", type=int, default=15)
     a = p.parse_args(argv)
-    n = import_lmdb(a.src, a.dst, a.limit)
-    print(f"imported {n} clips -> {a.dst}")
+    if a.format == "cache":
+        n = import_cache_lmdb(a.src, a.dst, n_poses=a.n_poses, fps=a.fps,
+                              limit=a.limit)
+        print(f"imported {n} windowed samples -> {a.dst}")
+    else:
+        n = import_lmdb(a.src, a.dst, a.limit)
+        print(f"imported {n} clips -> {a.dst}")
     return 0
 
 

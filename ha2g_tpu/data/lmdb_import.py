@@ -90,3 +90,140 @@ def write_reference_lmdb(lmdb_dir: str, videos: list[dict]):
     records = {f"{i:010}".encode("ascii"): serialize(v)
                for i, v in enumerate(videos)}
     return write_lmdb(lmdb_dir, records)
+
+
+def import_cache_lmdb(lmdb_dir: str, out_dir: str, n_poses: int = 34,
+                      fps: int = 15, max_words: int = 32,
+                      remove_word_timing: bool = False,
+                      limit: int | None = None) -> int:
+    """Convert a *preprocessed cache* lmdb (per-sample records, the
+    `lmdb_*_cache` directories the reference driver builds and sometimes
+    ships) straight into fixed-shape WindowedSamples + vocabs.
+
+    Cache record layout (data_preprocessor.py:150-165):
+    [words, poses, normalized_dir_vec, audio, spectrogram, aux_info] with
+    aux_info {vid, start_frame_no, end_frame_no, start_time, end_time};
+    the dir vecs are already mean-subtracted.  The __getitem__-stage
+    clipping and both text encodings (lmdb_data_loader.py:116-166) are
+    reproduced here at conversion time.
+
+    Writes <out_dir>/{samples.npz, vocab.json, speaker.json}; returns the
+    sample count."""
+    import json
+    import math
+
+    import numpy as np
+
+    from ha2g_tpu.data.dataset import (WindowedSamples,
+                                       spectrogram_length_for)
+    from ha2g_tpu.data.vocab import EOS_TOKEN, SOS_TOKEN, Vocab
+
+    if not Path(lmdb_dir).exists():
+        raise FileNotFoundError(lmdb_dir)
+    deserialize = _deserializer()
+
+    records = []
+    for _key, value in _open_lmdb_items(lmdb_dir):
+        records.append(deserialize(value))
+        if limit and len(records) >= limit:
+            break
+
+    # pass 1: vocabularies
+    lang = Vocab("words")
+    speaker = Vocab("vid", insert_default_tokens=False)
+    for words, *_rest, aux in records:
+        for w in words:
+            lang.index_word(w[0])
+        speaker.index_word(aux["vid"])
+
+    audio_len = int(round(n_poses / fps * 16000))
+    spec_len = spectrogram_length_for(n_poses, fps)
+    rows = {k: [] for k in ("text", "word_seq", "pose", "target", "audio",
+                            "spec", "vids")}
+    for words, poses, vec_seq, audio, spectrogram, aux in records:
+        poses = np.asarray(poses, np.float32)
+        vec_seq = np.asarray(vec_seq, np.float32)
+        audio = np.asarray(audio, np.float32)
+        spectrogram = np.asarray(spectrogram, np.float32)
+        duration = float(aux["end_time"]) - float(aux["start_time"])
+        # do_clipping (lmdb_data_loader.py:154-162)
+        sample_end_time = float(aux["start_time"]) + \
+            duration * n_poses / vec_seq.shape[0]
+        if len(audio) < audio_len:
+            audio = np.pad(audio, (0, audio_len - len(audio)),
+                           mode="symmetric")
+        audio = audio[:audio_len]
+        spectrogram = spectrogram[:, :spec_len]
+        vec_seq = vec_seq[:n_poses]
+        poses = poses[:n_poses]
+
+        frame_duration = (sample_end_time - float(aux["start_time"])) \
+            / n_poses
+        ext = np.zeros(n_poses, np.int32)
+        if remove_word_timing:
+            inside = [w for w in words if int(np.floor(
+                (w[1] - aux["start_time"]) / frame_duration)) < n_poses]
+            space = int(n_poses / (len(inside) + 1))
+            for k, w in enumerate(inside):
+                ext[(k + 1) * space] = lang.get_word_index(w[0])
+        else:
+            for w in words:
+                idx = max(0, int(np.floor(
+                    (w[1] - aux["start_time"]) / frame_duration)))
+                if idx < n_poses:
+                    ext[idx] = lang.get_word_index(w[0])
+        seq = [SOS_TOKEN]
+        for w in words:
+            if w[1] > sample_end_time:
+                break
+            seq.append(lang.get_word_index(w[0]))
+        seq.append(EOS_TOKEN)
+        seq = seq[:max_words]
+
+        rows["text"].append(ext)
+        rows["word_seq"].append(np.asarray(seq, np.int32))
+        rows["pose"].append(poses.reshape(n_poses, -1))
+        rows["target"].append(vec_seq.reshape(n_poses, -1))
+        rows["audio"].append(audio)
+        rows["spec"].append(spectrogram)
+        rows["vids"].append(speaker.get_word_index(aux["vid"]))
+
+    n = len(rows["text"])
+    if n == 0:
+        raise ValueError(f"no samples in {lmdb_dir}")
+    lengths = np.asarray([len(s) for s in rows["word_seq"]], np.int32)
+    mw = max(int(lengths.max()), 2)
+    word_seq = np.zeros((n, mw), np.int32)
+    for i, s in enumerate(rows["word_seq"]):
+        word_seq[i, :len(s)] = s
+    samples = WindowedSamples(
+        text=np.stack(rows["text"]), word_seq=word_seq,
+        word_lengths=lengths, pose=np.stack(rows["pose"]),
+        target=np.stack(rows["target"]), audio=np.stack(rows["audio"]),
+        spec=np.stack(rows["spec"]),
+        vids=np.asarray(rows["vids"], np.int32))
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        out / "samples.npz",
+        **{k: getattr(samples, k) for k in
+           ("text", "word_seq", "word_lengths", "pose", "target",
+            "audio", "spec", "vids")})
+    lang.save(out / "vocab.json")
+    speaker.save(out / "speaker.json")
+    return n
+
+
+def load_imported_samples(path: str | Path):
+    """Load an import_cache_lmdb output directory ->
+    (WindowedSamples, lang Vocab, speaker Vocab)."""
+    from ha2g_tpu.data.dataset import WindowedSamples
+    from ha2g_tpu.data.vocab import Vocab
+    import numpy as np
+
+    path = Path(path)
+    z = np.load(path / "samples.npz")
+    samples = WindowedSamples(**{k: z[k] for k in z.files})
+    return (samples, Vocab.load(path / "vocab.json"),
+            Vocab.load(path / "speaker.json"))

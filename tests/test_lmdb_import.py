@@ -205,3 +205,61 @@ def test_import_lmdb_limit(reference_format_lmdb, tmp_path):
     lmdb_dir, _ = reference_format_lmdb
     n = import_lmdb(str(lmdb_dir), str(tmp_path / "clips"), limit=3)
     assert n == 3
+
+
+@pytest.fixture(scope="module")
+def cache_format_lmdb(tmp_path_factory):
+    """A preprocessed-cache lmdb in the reference's wire format
+    (data_preprocessor.py:150-165 sample records)."""
+    from ha2g_tpu.data.lmdb_mini import write_lmdb
+    rng = np.random.default_rng(3)
+    tmp = tmp_path_factory.mktemp("cache_lmdb")
+    n_ext = 42  # n_poses * 1.25 extended windows, as the cache stores
+    records = {}
+    for i in range(12):
+        words = [[f"w{rng.integers(0, 9)}", 1.0 + i + 0.2 * k,
+                  1.1 + i + 0.2 * k] for k in range(4)]
+        poses = rng.normal(size=(n_ext, 10, 3)).astype(np.float32)
+        vec = rng.normal(size=(n_ext, 9, 3)).astype(np.float32) * 0.1
+        audio = rng.normal(size=int(n_ext / 15 * 16000)) \
+            .astype(np.float32) * 0.1
+        spec = rng.normal(size=(128, 87)).astype(np.float16)
+        aux = {"vid": f"vid_{i % 3}", "start_frame_no": i * 10,
+               "end_frame_no": i * 10 + n_ext,
+               "start_time": 1.0 + i, "end_time": 1.0 + i + n_ext / 15}
+        rec = [words, poses, vec, audio, spec.astype(np.float32), aux]
+        records[f"{i:010}".encode("ascii")] = pal.serialize(rec)
+    write_lmdb(tmp / "lmdb_train_cache", records)
+    return tmp / "lmdb_train_cache"
+
+
+def test_import_cache_lmdb(cache_format_lmdb, tmp_path):
+    from ha2g_tpu.data.lmdb_import import (import_cache_lmdb,
+                                           load_imported_samples)
+    from ha2g_tpu.data.loader import BatchLoader
+
+    n = import_cache_lmdb(str(cache_format_lmdb), str(tmp_path / "out"))
+    assert n == 12
+    samples, lang, speaker = load_imported_samples(tmp_path / "out")
+    assert len(samples) == 12
+    assert samples.target.shape == (12, 34, 27)
+    assert samples.audio.shape == (12, int(round(34 / 15 * 16000)))
+    assert samples.spec.shape[1] == 128
+    assert samples.text.shape == (12, 34)
+    # frame-aligned tokens land inside the window and resolve via vocab
+    assert samples.text.max() >= 4  # a real word index past the specials
+    assert speaker.n_words >= 3
+    batch = next(iter(BatchLoader(samples, 4, shuffle=False)))
+    assert batch["target"].shape == (4, 34, 27)
+    assert np.isfinite(np.asarray(batch["target"])).all()
+
+
+def test_import_cache_lmdb_word_seq_semantics(cache_format_lmdb, tmp_path):
+    from ha2g_tpu.data.lmdb_import import (import_cache_lmdb,
+                                           load_imported_samples)
+    import_cache_lmdb(str(cache_format_lmdb), str(tmp_path / "out"))
+    samples, lang, _ = load_imported_samples(tmp_path / "out")
+    from ha2g_tpu.data.vocab import EOS_TOKEN, SOS_TOKEN
+    for i in range(len(samples)):
+        seq = samples.word_seq[i][: samples.word_lengths[i]]
+        assert seq[0] == SOS_TOKEN and seq[-1] == EOS_TOKEN
