@@ -53,8 +53,12 @@ def load_reference_checkpoint(path: str) -> dict:
 
 
 def _np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
-                      else t, np.float32)
+    """Tensor -> OWNED float32 ndarray.  Must copy: ``Tensor.numpy()``
+    shares storage with the live parameter, and ``np.asarray``/transpose
+    keep that aliasing — an imported checkpoint would then silently track
+    (or be corrupted by) later in-place updates to the torch module."""
+    arr = t.detach().cpu().numpy() if hasattr(t, "detach") else t
+    return np.array(arr, dtype=np.float32, copy=True)
 
 
 def _strip_module_prefix(sd: dict) -> dict:
@@ -122,6 +126,17 @@ def _weightnorm_conv(sd, key):
     v = _np(sd[f"{key}.weight_v"]).transpose(2, 1, 0)  # (k, in, out)
     g = _np(sd[f"{key}.weight_g"]).reshape(-1)
     return {"v": v, "g": g, "b": _np(sd[f"{key}.bias"])}
+
+
+def _gru_cell(sd, prefix, n_layers):
+    """torch unidirectional GRU -> our GRUCell params (no direction axis)."""
+    out = {}
+    for l in range(n_layers):
+        out[f"w_ih_l{l}"] = _np(sd[f"{prefix}.weight_ih_l{l}"]).T
+        out[f"w_hh_l{l}"] = _np(sd[f"{prefix}.weight_hh_l{l}"]).T
+        out[f"b_ih_l{l}"] = _np(sd[f"{prefix}.bias_ih_l{l}"])
+        out[f"b_hh_l{l}"] = _np(sd[f"{prefix}.bias_hh_l{l}"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +225,85 @@ def convert_multimodal_generator(sd: dict, n_layers: int
             "Dense_2": _dense(sd, "speaker_logvar"),
         }
     return params, {"WavEncoder_0": wav_s}
+
+
+def convert_seq2seq(sd: dict, n_layers: int) -> tuple[dict, dict]:
+    """Reference Seq2SeqNet gen_dict (seq2seq_net.py:219-254; generic
+    loader train_utils.py:197-213) -> (params, batch_stats) for our
+    Seq2SeqNet."""
+    sd = _strip_module_prefix(sd)
+    enc = {"embedding": _np(sd["encoder.embedding.weight"])}
+    enc.update(_gru(sd, "encoder.gru", n_layers, bidirectional=True))
+    pref = "decoder.decoder"
+    dec = {
+        "Attn_0": {"Dense_0": _dense(sd, f"{pref}.attn.attn"),
+                   "v": _np(sd[f"{pref}.attn.v"])},
+        "Dense_0": _dense(sd, f"{pref}.pre_linear.0"),
+        "BatchNorm_0": _bn_params(sd, f"{pref}.pre_linear.1"),
+        "GRUCell_0": _gru_cell(sd, f"{pref}.gru", n_layers),
+        "Dense_1": _dense(sd, f"{pref}.out"),
+    }
+    if f"{pref}.speaker_embedding.weight" in sd:
+        dec["speaker_embedding"] = _np(
+            sd[f"{pref}.speaker_embedding.weight"])
+    params = {"MaskedBiGRUEncoder_0": enc, "decoder_step": dec}
+    stats = {"decoder_step": {
+        "BatchNorm_0": _bn_stats(sd, f"{pref}.pre_linear.1")}}
+    return params, stats
+
+
+def _s2g_cnr(sd, key, is_2d=False):
+    """speech2gesture ConvNormRelu Sequential (conv .0 + bn .1)
+    -> our ConvNormRelu {Conv_0, BatchNorm_0} (params, stats)."""
+    conv = _conv2d(sd, f"{key}.0") if is_2d else _conv1d(sd, f"{key}.0")
+    return ({"Conv_0": conv, "BatchNorm_0": _bn_params(sd, f"{key}.1")},
+            {"BatchNorm_0": _bn_stats(sd, f"{key}.1")})
+
+
+def convert_s2g_generator(sd: dict) -> tuple[dict, dict]:
+    """Reference speech2gesture.Generator (speech2gesture.py:200-231) ->
+    (params, batch_stats) for our speech2gesture.Generator.  Flax auto-names
+    follow call order: first_net 0-7 -> AudioEncoder ConvNormRelu_0..7,
+    down1.0/down1.1 -> _8/_9, down2..down6 -> _10.._14, up1..up5 ->
+    UnetUp_0..4."""
+    sd = _strip_module_prefix(sd)
+    ae_p, ae_s = {}, {}
+    for i in range(8):
+        p, s = _s2g_cnr(sd, f"audio_encoder.first_net.{i}", is_2d=True)
+        ae_p[f"ConvNormRelu_{i}"], ae_s[f"ConvNormRelu_{i}"] = p, s
+    for i, key in enumerate(
+            ["down1.0", "down1.1", "down2", "down3", "down4", "down5",
+             "down6"]):
+        p, s = _s2g_cnr(sd, f"audio_encoder.{key}")
+        ae_p[f"ConvNormRelu_{8 + i}"], ae_s[f"ConvNormRelu_{8 + i}"] = p, s
+    for i in range(5):
+        p, s = _s2g_cnr(sd, f"audio_encoder.up{i + 1}.conv")
+        ae_p[f"UnetUp_{i}"] = {"ConvNormRelu_0": p}
+        ae_s[f"UnetUp_{i}"] = {"ConvNormRelu_0": s}
+
+    params = {"AudioEncoder_0": ae_p,
+              "Dense_0": _dense(sd, "pre_pose_encoder.0"),
+              "BatchNorm_0": _bn_params(sd, "pre_pose_encoder.1"),
+              "Dense_1": _dense(sd, "pre_pose_encoder.3"),
+              "Conv_0": _conv1d(sd, "final_out")}
+    stats = {"AudioEncoder_0": ae_s,
+             "BatchNorm_0": _bn_stats(sd, "pre_pose_encoder.1")}
+    for i in range(4):
+        p, s = _s2g_cnr(sd, f"decoder.{i}")
+        params[f"ConvNormRelu_{i}"], stats[f"ConvNormRelu_{i}"] = p, s
+    return params, stats
+
+
+def convert_s2g_discriminator(sd: dict) -> tuple[dict, dict]:
+    """Reference speech2gesture.Discriminator (speech2gesture.py:234-250)
+    -> (params, batch_stats)."""
+    sd = _strip_module_prefix(sd)
+    p1, s1 = _s2g_cnr(sd, "net.2")
+    p2, s2 = _s2g_cnr(sd, "net.3")
+    params = {"Conv_0": _conv1d(sd, "net.0"),
+              "ConvNormRelu_0": p1, "ConvNormRelu_1": p2,
+              "Conv_1": _conv1d(sd, "net.4")}
+    return params, {"ConvNormRelu_0": s1, "ConvNormRelu_1": s2}
 
 
 def _se_block(sd, key, has_downsample):
@@ -369,6 +463,44 @@ def convert_motion_ae(sd: dict) -> tuple[dict, dict]:
             {"MotionEncoderConv_0": enc_s, "MotionDecoderConv_0": dec_s})
 
 
+def convert_embedding_net_full(sd: dict, tcn_layers: int = 4
+                               ) -> tuple[dict, dict]:
+    """Reference EmbeddingNet(mode='speech'/'both') gen_dict — the
+    joint_embedding model (embedding_net.py:260-294: ContextEncoder +
+    PoseEncoderConv + PoseDecoderGRU) -> (params, batch_stats)."""
+    sd = _strip_module_prefix(sd)
+    sub = lambda prefix: {k[len(prefix):]: v for k, v in sd.items()
+                          if k.startswith(prefix)}
+    wav_p, wav_s = convert_wav_encoder(sd, prefix="context_encoder.audio_encoder")
+    ctx_p = {
+        "TextEncoderTCN_0": convert_text_encoder(
+            sub("context_encoder.text_encoder."), tcn_layers),
+        "WavEncoder_0": wav_p,
+        "GRU_0": _gru(sd, "context_encoder.gru", 2, bidirectional=False),
+        "Dense_0": _dense(sd, "context_encoder.out.0"),
+        "BatchNorm_0": _bn_params(sd, "context_encoder.out.1"),
+        "Dense_1": _dense(sd, "context_encoder.out.3"),
+        "Dense_2": _dense(sd, "context_encoder.fc_mu"),
+        "Dense_3": _dense(sd, "context_encoder.fc_logvar"),
+    }
+    ctx_s = {"WavEncoder_0": wav_s,
+             "BatchNorm_0": _bn_stats(sd, "context_encoder.out.1")}
+    pose_p, pose_s = convert_pose_encoder(sd, prefix="pose_encoder")
+    dec_p = {
+        "Dense_0": _dense(sd, "decoder.pre_pose_net.0"),
+        "BatchNorm_0": _bn_params(sd, "decoder.pre_pose_net.1"),
+        "Dense_1": _dense(sd, "decoder.pre_pose_net.3"),
+        "GRU_0": _gru(sd, "decoder.gru", 4, bidirectional=True),
+        "Dense_2": _dense(sd, "decoder.out.0"),
+        "Dense_3": _dense(sd, "decoder.out.2"),
+    }
+    dec_s = {"BatchNorm_0": _bn_stats(sd, "decoder.pre_pose_net.1")}
+    return ({"ContextEncoder_0": ctx_p, "PoseEncoderConv_0": pose_p,
+             "PoseDecoderGRU_0": dec_p},
+            {"ContextEncoder_0": ctx_s, "PoseEncoderConv_0": pose_s,
+             "PoseDecoderGRU_0": dec_s})
+
+
 # ---------------------------------------------------------------------------
 # Full checkpoint import
 # ---------------------------------------------------------------------------
@@ -408,6 +540,21 @@ def config_from_reference_args(args_obj) -> "Config":
     return Config.from_dict(d)
 
 
+def _check_tree(template, new, path=""):
+    """Structural check of an imported tree against the init template, with
+    informative errors."""
+    t_keys = set(template.keys())
+    n_keys = set(new.keys())
+    assert t_keys == n_keys, \
+        f"{path}: template {sorted(t_keys)} vs import {sorted(n_keys)}"
+    for k in t_keys:
+        if isinstance(template[k], dict):
+            _check_tree(template[k], new[k], f"{path}/{k}")
+        else:
+            assert template[k].shape == new[k].shape, \
+                f"{path}/{k}: {template[k].shape} vs {new[k].shape}"
+
+
 def import_hierarchy_checkpoint(ckpt: dict, state, n_layers: int = 4):
     """Map a reference hierarchy checkpoint dict (train.py:232-243 keys)
     onto a HierarchyState, returning the new state.  `state` provides the
@@ -426,19 +573,7 @@ def import_hierarchy_checkpoint(ckpt: dict, state, n_layers: int = 4):
                   "dis": dis_p}
     new_stats = {"audio": audio_s, "dis": dis_s}
 
-    # structural check against the template, with informative errors
-    def check(template, new, path=""):
-        t_keys = set(template.keys())
-        n_keys = set(new.keys())
-        assert t_keys == n_keys, \
-            f"{path}: template {sorted(t_keys)} vs import {sorted(n_keys)}"
-        for k in t_keys:
-            if isinstance(template[k], dict):
-                check(template[k], new[k], f"{path}/{k}")
-            else:
-                assert template[k].shape == new[k].shape, \
-                    f"{path}/{k}: {template[k].shape} vs {new[k].shape}"
-
+    check = _check_tree
     check(state.params["audio"], audio_p, "audio")
     check(state.params["text"], text_p, "text")
     for l in range(n_levels):
@@ -447,6 +582,42 @@ def import_hierarchy_checkpoint(ckpt: dict, state, n_layers: int = 4):
     check(state.batch_stats["audio"], audio_s, "audio_stats")
     check(state.batch_stats["dis"], dis_s, "dis_stats")
 
+    as_jnp = lambda tree: jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), tree)
+    return state.replace(params=as_jnp(new_params),
+                         batch_stats=as_jnp(new_stats))
+
+
+def import_generic_checkpoint(ckpt: dict, state, cfg):
+    """Map a reference generic checkpoint ({args, gen_dict, dis_dict, ...},
+    train.py:239-244; loader train_utils.py:197-213) onto the matching
+    system state for multimodal_context / seq2seq / speech2gesture /
+    joint_embedding.  `state` provides the pytree template."""
+    import jax
+
+    model = cfg.model
+    n_layers = cfg.n_layers
+    if model == "multimodal_context":
+        gen_p, gen_s = convert_multimodal_generator(ckpt["gen_dict"],
+                                                    n_layers)
+        dis_p, dis_s = convert_discriminator(ckpt["dis_dict"])
+        new_params = {"gen": gen_p, "dis": dis_p}
+        new_stats = {"gen": gen_s, "dis": dis_s}
+    elif model == "seq2seq":
+        new_params, new_stats = convert_seq2seq(ckpt["gen_dict"], n_layers)
+    elif model == "speech2gesture":
+        gen_p, gen_s = convert_s2g_generator(ckpt["gen_dict"])
+        dis_p, dis_s = convert_s2g_discriminator(ckpt["dis_dict"])
+        new_params = {"gen": gen_p, "dis": dis_p}
+        new_stats = {"gen": gen_s, "dis": dis_s}
+    elif model == "joint_embedding":
+        new_params, new_stats = convert_embedding_net_full(ckpt["gen_dict"])
+    else:
+        raise ValueError(f"no generic importer for model {model!r} "
+                         "(hierarchy uses import_hierarchy_checkpoint)")
+
+    _check_tree(state.params, new_params, "params")
+    _check_tree(state.batch_stats, new_stats, "batch_stats")
     as_jnp = lambda tree: jax.tree_util.tree_map(
         lambda x: np.asarray(x, np.float32), tree)
     return state.replace(params=as_jnp(new_params),

@@ -82,6 +82,10 @@ class HierarchicalPoseGenerator(nn.Module):
     hidden_size: int = 300
     n_layers: int = 4
     dropout: float = 0.3
+    # embedding dropout stays at the reference's fixed 0.1
+    # (hierarchy_net.py:25 emb_dropout default) independent of
+    # dropout_prob; exposed for determinism-sensitive tests
+    emb_dropout: float = 0.1
     z_type: str = "speaker"
     input_context: str = "both"
     freeze_wordembed: bool = False
@@ -103,7 +107,8 @@ class HierarchicalPoseGenerator(nn.Module):
         text_feat_seq = TextEncoderTCN(
             n_words=self.n_words, embed_dim=self.word_embed_dim,
             hidden_size=self.hidden_size, n_layers=self.n_layers,
-            dropout=self.dropout, freeze=self.freeze_wordembed,
+            dropout=self.dropout, emb_dropout=self.emb_dropout,
+            freeze=self.freeze_wordembed,
             embeddings=self.word_embeddings)(in_text, deterministic=det)
 
         z, z_mu, z_logvar = SpeakerZ(self.n_speakers,
@@ -146,6 +151,7 @@ class ConvDiscriminator(nn.Module):
 
     hidden_size: int = 64
     slope: float = 0.01
+    dropout: float = 0.3   # reference GRU dropout (hierarchy_net.py:207)
 
     @nn.compact
     def __call__(self, poses, train: bool = False):
@@ -158,7 +164,7 @@ class ConvDiscriminator(nn.Module):
         x = Conv1d(8, 3)(x)
 
         out, _ = GRU(hidden_size=self.hidden_size, n_layers=4,
-                     bidirectional=True, dropout=0.3)(
+                     bidirectional=True, dropout=self.dropout)(
             x, deterministic=not train)
         out = out[..., :self.hidden_size] + out[..., self.hidden_size:]
         out = Dense(1)(out)[..., 0]       # (B, T-6)

@@ -55,6 +55,9 @@ class PoseGenerator(nn.Module):
     hidden_size: int = 300
     n_layers: int = 4
     dropout: float = 0.3
+    # reference keeps the TCN's embedding dropout at its fixed 0.1 default
+    # (multimodal_context_net.py TextEncoderTCN); exposed for tests
+    emb_dropout: float = 0.1
     z_type: str = "speaker"
     input_context: str = "both"
     freeze_wordembed: bool = False
@@ -72,7 +75,8 @@ class PoseGenerator(nn.Module):
             text_feat_seq = TextEncoderTCN(
                 n_words=self.n_words, embed_dim=self.word_embed_dim,
                 hidden_size=self.hidden_size, n_layers=self.n_layers,
-                dropout=self.dropout, freeze=self.freeze_wordembed,
+                dropout=self.dropout, emb_dropout=self.emb_dropout,
+                freeze=self.freeze_wordembed,
                 embeddings=self.word_embeddings)(in_text, deterministic=det)
 
         z, z_mu, z_logvar = SpeakerZ(self.n_speakers, z_type=self.z_type)(

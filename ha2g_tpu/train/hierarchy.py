@@ -254,8 +254,10 @@ class HierarchySystem:
 
                 huber = sum(losses.scaled_huber(o, t)
                             for o, t in zip(outs, targets))
-                m["loss"] = cfg.loss_regression_weight * \
-                    losses.scaled_huber(out, targets[-1])
+                # reference reports the summed multi-level huber
+                # (train_hierarchy.py:276); its final-level `final_loss`
+                # (:178) is computed but never logged
+                m["loss"] = cfg.loss_regression_weight * huber
 
                 # discriminator on generated output (stats update mirrors the
                 # reference, which calls D in train mode during the G step)

@@ -1,0 +1,501 @@
+"""One-step training-dynamics parity against torch mirrors.
+
+The strongest parity evidence obtainable in this image (released datasets are
+absent): with identical imported weights and randomness frozen out, ONE full
+training iteration of our jitted train steps must reproduce the reference
+iteration math — every loss term in the returned metrics AND the gradients
+that flow into every parameter.
+
+Method:
+* torch mirrors (tests/torch_mirrors.py) are wired into a torch
+  re-implementation (below) of the reference iteration semantics
+  (scripts/train_eval/train_hierarchy.py:71-293 for the hierarchy GAN,
+  scripts/train_eval/train_gan.py:13-103 for multimodal context).
+* randomness is frozen: dropout 0 on both sides, speaker-z logvar biased to
+  -100 (z == mu), and the speaker permutation drawn by the jax step is
+  replicated outside and handed to the torch side.
+* both sides step with SGD(lr) instead of Adam, so post-step parameter
+  deltas equal  -lr * grad  exactly — comparing the full converted
+  parameter trees compares every gradient (Adam's sqrt normalization would
+  amplify fp noise near zero-gradient into sign flips).  Equivalence of the
+  optimizer itself (one combined optax.adam == the reference's five
+  per-module torch Adams with the same lr/betas) is a per-parameter
+  algebraic identity and is covered by test_adam_partition_identity.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ha2g_tpu import import_torch as it
+from tests import torch_mirrors as tm
+
+N_WORDS, N_SPK = 11, 5
+HID, NL = 16, 2
+B, T = 4, 34
+POSE_DIM = 27
+LR = 0.05
+
+
+# ---------------------------------------------------------------------------
+# torch-side reference iteration math
+# ---------------------------------------------------------------------------
+
+def torch_contrastive(a, b):
+    """SoftmaxContrastiveLoss (train_hierarchy.py:54-68): CE over clamped
+    inverse pairwise-L2 similarity with diagonal labels."""
+    a = F.normalize(a, p=2, dim=1)
+    b = F.normalize(b, p=2, dim=1)
+    dist = torch.norm(a.unsqueeze(1) - b.unsqueeze(0), p=2, dim=2)
+    logits = torch.clamp(1.0 / (dist + 1e-8), min=1e-8)
+    labels = torch.arange(a.shape[0])
+    return F.cross_entropy(logits, labels)
+
+
+def torch_physical(out, mean_dir_vec, pairs, avg, var):
+    """Gaussian inter-bone angle prior (train_hierarchy.py:242-262)."""
+    raw = out + torch.as_tensor(mean_dir_vec, dtype=out.dtype)
+    raw = F.normalize(raw.reshape(raw.shape[0], raw.shape[1], -1, 3), dim=-1)
+    flat = raw.reshape(-1, raw.shape[2], 3)
+    loss = 0.0
+    for k, (i, j) in enumerate(pairs):
+        inner = torch.einsum("nd,nd->n", flat[:, i], flat[:, j])
+        inner = torch.clamp(inner, -1 + 1e-7, 1 - 1e-7)
+        angle = torch.acos(inner) / np.pi
+        loss = loss + torch.mean((angle - avg[k]) ** 2 / (2 * var[k]))
+    return loss
+
+
+def torch_pre_seq(tgt, n_pre=4):
+    ps = tgt.new_zeros(tgt.shape[0], tgt.shape[1], tgt.shape[2] + 1)
+    ps[:, :n_pre, :-1] = tgt[:, :n_pre]
+    ps[:, :n_pre, -1] = 1
+    return ps
+
+
+def torch_cascade(gens, tgt, toks, blends, vids, n_pre=4):
+    """3-level routing (train_hierarchy.py:100-117 / :153-170)."""
+    t1 = torch.cat((tgt[:, :, :12], tgt[:, :, 18:21]), dim=2)
+    t2 = torch.cat((tgt[:, :, :15], tgt[:, :, 18:24]), dim=2)
+    p1 = torch_pre_seq(t1, n_pre)
+    o1, *_ = gens[0](p1, toks, blends[0], vids)
+    p2 = torch_pre_seq(t2, n_pre)
+    p2[:, n_pre:, :12] = o1[:, n_pre:, :12]
+    p2[:, n_pre:, 15:18] = o1[:, n_pre:, 12:15]
+    o2, *_ = gens[1](p2, toks, blends[1], vids)
+    p3 = torch_pre_seq(tgt, n_pre)
+    p3[:, n_pre:, :15] = o2[:, n_pre:, :15]
+    p3[:, n_pre:, 18:24] = o2[:, n_pre:, 15:21]
+    o3, z, mu, logvar = gens[2](p3, toks, blends[2], vids)
+    return (o1, o2, o3), (t1, t2, tgt), z, mu, logvar
+
+
+def sh(a, b, beta):
+    return F.smooth_l1_loss(a / beta, b / beta) * beta
+
+
+def torch_train_iter_hierarchy(cfg, gan_on, batch, gens, dis, audio, text,
+                               opts, rand_vids, pairs, avg, var):
+    """Reference train_iter_hierarchy semantics
+    (train_hierarchy.py:71-293), with the rand-speaker permutation injected
+    for cross-framework determinism."""
+    toks, spec, tgt, vids = (batch["text"], batch["spec"], batch["target"],
+                             batch["vids"])
+    _, lo, _, hi, blends = audio(spec, vids)
+    text_feat = text(toks)
+
+    ret = {}
+    # ---- D phase ----
+    if gan_on and cfg["loss_gan_weight"] > 0.0:
+        opts["dis"].zero_grad()
+        (o1, o2, o3), _, _, _, _ = torch_cascade(
+            gens, tgt, toks, [b.detach() for b in blends], vids)
+        d_real = dis(tgt)
+        d_fake = dis(o3.detach())
+        dis_error = torch.sum(-torch.mean(
+            torch.log(d_real + 1e-8) + torch.log(1 - d_fake + 1e-8)))
+        dis_error.backward()
+        opts["dis"].step()
+        ret["dis"] = dis_error.item()
+
+    # ---- G phase (vs updated D) ----
+    for k in ("g1", "g2", "g3", "audio", "text"):
+        opts[k].zero_grad()
+    opts["dis"].zero_grad()   # D grads from the G loss are discarded
+
+    c_pos = torch_contrastive(text_feat.reshape(-1, text_feat.shape[2]),
+                              hi.reshape(-1, hi.shape[2]))
+    c_neg = -torch_contrastive(text_feat.reshape(-1, text_feat.shape[2]),
+                               lo.reshape(-1, lo.shape[2]))
+
+    (o1, o2, o3), (t1, t2, t3), z, mu, logvar = torch_cascade(
+        gens, tgt, toks, blends, vids)
+    huber = sh(o1, t1, 0.1) + sh(o2, t2, 0.1) + sh(o3, t3, 0.1)
+    d_out = dis(o3)
+    gen_error = -torch.mean(torch.log(d_out + 1e-8))
+
+    (r1, r2, r3), _, z_rand, _, _ = torch_cascade(
+        gens, tgt, toks, blends, rand_vids)
+    pose_l1 = (F.smooth_l1_loss(o3 / 0.05, r3.detach() / 0.05,
+                                reduction="none") * 0.05)
+    pose_l1 = pose_l1.sum(dim=1).sum(dim=1).view(pose_l1.shape[0], -1).mean(1)
+    z_l1 = F.l1_loss(z.detach(), z_rand.detach(), reduction="none")
+    z_l1 = z_l1.view(z_l1.shape[0], -1).mean(1)
+    div_reg = torch.clamp(-(pose_l1 / (z_l1 + 1e-5)), min=-1000).mean()
+    kld = -0.5 * torch.mean(1 + logvar - mu.pow(2) - logvar.exp())
+
+    loss = (cfg["loss_regression_weight"] * huber
+            + cfg["loss_kld_weight"] * kld
+            + cfg["loss_reg_weight"] * div_reg)
+    if gan_on:
+        loss = loss + cfg["loss_gan_weight"] * gen_error
+    loss = loss + cfg["loss_contrastive_pos_weight"] * c_pos
+    loss = loss + cfg["loss_contrastive_neg_weight"] * c_neg
+    phy = torch_physical(o3, cfg["mean_dir_vec"], pairs, avg, var)
+    loss = loss + cfg["loss_physical_weight"] * phy
+
+    loss.backward()
+    for k in ("g1", "g2", "g3", "audio", "text"):
+        opts[k].step()
+
+    ret.update({
+        "loss": cfg["loss_regression_weight"] * huber.item(),
+        "KLD": cfg["loss_kld_weight"] * kld.item(),
+        "DIV_REG": cfg["loss_reg_weight"] * div_reg.item(),
+        "c_pos": cfg["loss_contrastive_pos_weight"] * c_pos.item(),
+        "c_neg": cfg["loss_contrastive_neg_weight"] * c_neg.item(),
+        "phy": cfg["loss_physical_weight"] * phy.item()})
+    if gan_on:
+        ret["gen"] = cfg["loss_gan_weight"] * gen_error.item()
+    return ret
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+def _freeze_z(gen):
+    with torch.no_grad():
+        gen.speaker_logvar.weight.zero_()
+        gen.speaker_logvar.bias.fill_(-100.0)
+
+
+def _no_dropout(dis):
+    dis.gru.dropout = 0.0
+    return dis
+
+
+def _hier_setup(seed=11):
+    torch.manual_seed(seed)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.models.hierarchy import ConvDiscriminator
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+
+    rng = np.random.default_rng(seed)
+    mean_vec = (rng.normal(size=POSE_DIM) * 0.1).astype(np.float32)
+    cfg = Config(model="hierarchy", dataset="ted_gesture",
+                 pose_dim=POSE_DIM, n_poses=T, hidden_size=HID, n_layers=NL,
+                 z_type="speaker", dropout_prob=0.0, learning_rate=LR,
+                 mean_dir_vec=list(map(float, mean_vec)),
+                 loss_regression_weight=500.0, loss_kld_weight=0.6,
+                 loss_reg_weight=0.05, loss_gan_weight=5.0,
+                 loss_contrastive_pos_weight=0.2,
+                 loss_contrastive_neg_weight=0.005,
+                 loss_physical_weight=0.01)
+
+    dims = (15, 21, 27)
+    t_gens = []
+    for d in dims:
+        g = tm.TorchHierGenerator(d, N_WORDS, N_SPK, HID, NL).train()
+        _freeze_z(g)
+        t_gens.append(g)
+    t_audio = tm.TorchResNetSE(N_SPK, pose_level=3).train()
+    t_dis = _no_dropout(tm.TorchConvDiscriminator(POSE_DIM)).train()
+    t_text = tm.TorchTextEncoderTCN(N_WORDS, 300, HID, NL).train()
+
+    system = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    system.dis = ConvDiscriminator(slope=0.01, dropout=0.0)
+    # the reference's TCN embedding dropout is a fixed 0.1 independent of
+    # dropout_prob (hierarchy_net.py:25); freeze it for determinism
+    system.text = system.text.clone(emb_dropout=0.0)
+    system.gens = tuple(g.clone(emb_dropout=0.0) for g in system.gens)
+    system.g_tx = optax.sgd(LR)
+    system.d_tx = optax.sgd(LR * cfg.discriminator_lr_weight)
+
+    batch = {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (B, T))),
+        "spec": jnp.asarray(rng.normal(size=(B, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.normal(size=(B, T, POSE_DIM)).astype(np.float32) * 0.2),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (B,))),
+    }
+    state = system.init(jax.random.PRNGKey(0), batch)
+    ckpt = {"gen_dict_1": t_gens[0].state_dict(),
+            "gen_dict_2": t_gens[1].state_dict(),
+            "gen_dict_3": t_gens[2].state_dict(),
+            "audio_dict": t_audio.state_dict(),
+            "dis_dict": t_dis.state_dict(),
+            "text_dict": t_text.state_dict()}
+    state = it.import_hierarchy_checkpoint(ckpt, state, n_layers=NL)
+    return cfg, system, state, batch, (t_gens, t_audio, t_dis, t_text), \
+        mean_vec
+
+
+def _convert_hier_params(t_gens, t_audio, t_dis, t_text):
+    gens = tuple(it.convert_generator(g.state_dict(), NL) for g in t_gens)
+    audio_p, _ = it.convert_audio_encoder(t_audio.state_dict())
+    dis_p, _ = it.convert_discriminator(t_dis.state_dict())
+    text_p = it.convert_text_encoder(t_text.state_dict(), NL)
+    return {"audio": audio_p, "text": text_p, "gens": gens, "dis": dis_p}
+
+
+def _assert_grad_tree_close(new, old, want_new, rel=0.05, cos_min=0.995,
+                            path=""):
+    """Compare parameter DELTAS (== -lr * grad under SGD) per leaf by
+    relative L2 error and cosine similarity.  Elementwise comparison is
+    wrong for this: the backward through the 34-layer SE-ResNet / the
+    36k-sample wav convs accumulates fp32 reduction noise that is a few
+    percent on near-cancelling elements, while a *missing or wrong gradient
+    path* changes a leaf's delta direction and norm wholesale — which norm
+    + cosine catches."""
+    if isinstance(want_new, dict):
+        assert set(new.keys()) == set(want_new.keys()), path
+        for k in want_new:
+            _assert_grad_tree_close(new[k], old[k], want_new[k], rel,
+                                    cos_min, f"{path}/{k}")
+    elif isinstance(want_new, (tuple, list)):
+        for i, (n, o, w) in enumerate(zip(new, old, want_new)):
+            _assert_grad_tree_close(n, o, w, rel, cos_min, f"{path}[{i}]")
+    else:
+        da = (np.asarray(new, np.float64) -
+              np.asarray(old, np.float64)).ravel()
+        db = (np.asarray(want_new, np.float64) -
+              np.asarray(old, np.float64)).ravel()
+        nb = np.linalg.norm(db)
+        na = np.linalg.norm(da)
+        diff = np.linalg.norm(da - db)
+        # absolute floor: leaves whose true gradient is ~0 (e.g. a conv
+        # bias immediately followed by BatchNorm, whose mean-subtraction
+        # cancels it) sit at delta ~ lr * 1e-5; relative error there is
+        # pure noise ratio
+        if diff <= 2e-5:
+            return
+        assert nb > 1e-9, f"{path}: torch delta 0 but ours {na}"
+        err = diff / nb
+        cos = float(np.dot(da, db) / (na * nb + 1e-30))
+        assert err <= rel, f"{path}: rel delta err {err:.4f} (> {rel})"
+        assert cos >= cos_min, f"{path}: delta cosine {cos:.6f}"
+
+
+# ---------------------------------------------------------------------------
+# hierarchy tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gan_on", [True, False])
+def test_hierarchy_one_step_parity(gan_on):
+    cfg, system, state, batch, torch_mods, mean_vec = _hier_setup()
+    t_gens, t_audio, t_dis, t_text = torch_mods
+
+    step = system.make_train_step(gan_on=gan_on)
+    rng = jax.random.PRNGKey(42)
+    new_state, metrics = step(state, batch, rng)
+
+    # replicate the speaker permutation the jitted step drew
+    k_perm = jax.random.split(rng, 5)[3]
+    rand_vids = np.asarray(jax.random.permutation(k_perm, batch["vids"]))
+
+    opts = {"g1": torch.optim.SGD(t_gens[0].parameters(), lr=LR),
+            "g2": torch.optim.SGD(t_gens[1].parameters(), lr=LR),
+            "g3": torch.optim.SGD(t_gens[2].parameters(), lr=LR),
+            "audio": torch.optim.SGD(t_audio.parameters(), lr=LR),
+            "text": torch.optim.SGD(t_text.parameters(), lr=LR),
+            "dis": torch.optim.SGD(
+                t_dis.parameters(), lr=LR * cfg.discriminator_lr_weight)}
+    tb = {k: torch.from_numpy(np.asarray(v)) for k, v in batch.items()}
+    spec = system.spec
+    ret = torch_train_iter_hierarchy(
+        {"loss_regression_weight": cfg.loss_regression_weight,
+         "loss_kld_weight": cfg.loss_kld_weight,
+         "loss_reg_weight": cfg.loss_reg_weight,
+         "loss_gan_weight": cfg.loss_gan_weight,
+         "loss_contrastive_pos_weight": cfg.loss_contrastive_pos_weight,
+         "loss_contrastive_neg_weight": cfg.loss_contrastive_neg_weight,
+         "loss_physical_weight": cfg.loss_physical_weight,
+         "mean_dir_vec": mean_vec},
+        gan_on, tb, t_gens, t_dis, t_audio, t_text, opts,
+        torch.from_numpy(rand_vids),
+        spec.angle_prior.pairs, spec.angle_prior.avg, spec.angle_prior.var)
+
+    # every reference ret_dict term matches our metrics
+    assert set(ret.keys()) == set(metrics.keys()), \
+        (sorted(ret.keys()), sorted(metrics.keys()))
+    # fp32 drift budget: the existing forward-parity tests already allow
+    # ~5e-4 on the level-3 cascade output (test_import_torch.py:193); loss
+    # terms sit on top of that, so 2e-3 relative is the fp32 noise floor,
+    # not slack in the math.
+    for k, want in ret.items():
+        np.testing.assert_allclose(float(metrics[k]), want, rtol=2e-3,
+                                   atol=1e-4, err_msg=k)
+
+    # post-SGD parameter deltas match => every gradient matches
+    want_params = _convert_hier_params(t_gens, t_audio, t_dis, t_text)
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            want_params)
+
+
+def test_adam_partition_identity():
+    """One optax.adam over the combined G-side tree takes the same step as
+    independent per-module adams with identical lr/betas (the reference's
+    five-optimizer layout, train.py:155-163): Adam state is per-parameter,
+    so the partition is immaterial."""
+    rng = np.random.default_rng(0)
+    tree = {"a": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(7,)).astype(np.float32))}
+    grads = {"a": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+             "b": jnp.asarray(rng.normal(size=(7,)).astype(np.float32))}
+    tx = optax.adam(1e-3, b1=0.5, b2=0.999)
+    st = tx.init(tree)
+    up, _ = tx.update(grads, st, tree)
+    combined = optax.apply_updates(tree, up)
+
+    for key in ("a", "b"):
+        sub = {key: tree[key]}
+        g = {key: grads[key]}
+        st_i = tx.init(sub)
+        up_i, _ = tx.update(g, st_i, sub)
+        got = optax.apply_updates(sub, up_i)
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(combined[key]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multimodal-context (train_iter_gan) tests
+# ---------------------------------------------------------------------------
+
+def torch_train_iter_gan(cfg, gan_on, batch, gen, dis, g_opt, d_opt,
+                         rand_vids):
+    """Reference train_iter_gan semantics (train_gan.py:13-103)."""
+    toks, wav, tgt, vids = (batch["text"], batch["audio"], batch["target"],
+                            batch["vids"])
+    pre_seq = torch_pre_seq(tgt)
+    ret = {}
+    if gan_on and cfg["loss_gan_weight"] > 0.0:
+        d_opt.zero_grad()
+        out, *_ = gen(pre_seq, toks, wav, vids)
+        d_real = dis(tgt)
+        d_fake = dis(out.detach())
+        dis_error = torch.sum(-torch.mean(
+            torch.log(d_real + 1e-8) + torch.log(1 - d_fake + 1e-8)))
+        dis_error.backward()
+        d_opt.step()
+        ret["dis"] = dis_error.item()
+
+    g_opt.zero_grad()
+    d_opt.zero_grad()
+    out, z, mu, logvar = gen(pre_seq, toks, wav, vids)
+    huber = sh(out, tgt, 0.1)
+    d_out = dis(out)
+    gen_error = -torch.mean(torch.log(d_out + 1e-8))
+
+    out_r, z_r, _, _ = gen(pre_seq, toks, wav, rand_vids)
+    pose_l1 = (F.smooth_l1_loss(out / 0.05, out_r.detach() / 0.05,
+                                reduction="none") * 0.05)
+    pose_l1 = pose_l1.sum(dim=1).sum(dim=1).view(pose_l1.shape[0], -1).mean(1)
+    z_l1 = F.l1_loss(z.detach(), z_r.detach(), reduction="none")
+    z_l1 = z_l1.view(z_l1.shape[0], -1).mean(1)
+    div_reg = torch.clamp(-(pose_l1 / (z_l1 + 1e-5)), min=-1000).mean()
+    kld = -0.5 * torch.mean(1 + logvar - mu.pow(2) - logvar.exp())
+
+    loss = (cfg["loss_regression_weight"] * huber
+            + cfg["loss_kld_weight"] * kld + cfg["loss_reg_weight"] * div_reg)
+    if gan_on:
+        loss = loss + cfg["loss_gan_weight"] * gen_error
+    loss.backward()
+    g_opt.step()
+
+    ret.update({"loss": cfg["loss_regression_weight"] * huber.item(),
+                "KLD": cfg["loss_kld_weight"] * kld.item(),
+                "DIV_REG": cfg["loss_reg_weight"] * div_reg.item()})
+    if gan_on:
+        ret["gen"] = cfg["loss_gan_weight"] * gen_error.item()
+    return ret
+
+
+@pytest.mark.parametrize("gan_on", [True, False])
+def test_multimodal_gan_one_step_parity(gan_on):
+    torch.manual_seed(21)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.models.hierarchy import ConvDiscriminator
+    from ha2g_tpu.train.baselines import MultimodalGanSystem
+
+    cfg = Config(model="multimodal_context", dataset="ted_gesture",
+                 pose_dim=POSE_DIM, n_poses=T, hidden_size=HID, n_layers=NL,
+                 z_type="speaker", dropout_prob=0.0, learning_rate=LR,
+                 loss_regression_weight=500.0, loss_kld_weight=0.6,
+                 loss_reg_weight=0.05, loss_gan_weight=5.0)
+
+    t_gen = tm.TorchMultimodalGenerator(POSE_DIM, N_WORDS, N_SPK, HID,
+                                        NL).train()
+    _freeze_z(t_gen)
+    t_dis = _no_dropout(tm.TorchConvDiscriminator(POSE_DIM)).train()
+    # multimodal variant: the LeakyReLU(True) quirk == identity
+    t_dis.pre_conv[2] = torch.nn.LeakyReLU(1.0)
+    t_dis.pre_conv[5] = torch.nn.LeakyReLU(1.0)
+
+    system = MultimodalGanSystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    system.dis = ConvDiscriminator(slope=1.0, dropout=0.0)
+    system.gen = system.gen.clone(emb_dropout=0.0)
+    system.g_tx = optax.sgd(LR)
+    system.d_tx = optax.sgd(LR * cfg.discriminator_lr_weight)
+
+    rng_np = np.random.default_rng(21)
+    n_samples = int(round(T / 15 * 16000))
+    batch = {
+        "text": jnp.asarray(rng_np.integers(0, N_WORDS, (B, T))),
+        "audio": jnp.asarray(
+            rng_np.normal(size=(B, n_samples)).astype(np.float32) * 0.1),
+        "target": jnp.asarray(
+            rng_np.normal(size=(B, T, POSE_DIM)).astype(np.float32) * 0.2),
+        "vids": jnp.asarray(rng_np.integers(0, N_SPK, (B,))),
+    }
+    state = system.init(jax.random.PRNGKey(0), batch)
+    gen_p, gen_s = it.convert_multimodal_generator(t_gen.state_dict(), NL)
+    dis_p, dis_s = it.convert_discriminator(t_dis.state_dict())
+    state = state.replace(
+        params={"gen": gen_p, "dis": dis_p},
+        batch_stats={"gen": gen_s, "dis": dis_s})
+
+    step = system.make_train_step(gan_on=gan_on)
+    rng = jax.random.PRNGKey(7)
+    new_state, metrics = step(state, batch, rng)
+
+    k_perm = jax.random.split(rng, 4)[3]
+    rand_vids = np.asarray(jax.random.permutation(k_perm, batch["vids"]))
+
+    g_opt = torch.optim.SGD(t_gen.parameters(), lr=LR)
+    d_opt = torch.optim.SGD(t_dis.parameters(),
+                            lr=LR * cfg.discriminator_lr_weight)
+    tb = {k: torch.from_numpy(np.asarray(v)) for k, v in batch.items()}
+    ret = torch_train_iter_gan(
+        {"loss_regression_weight": cfg.loss_regression_weight,
+         "loss_kld_weight": cfg.loss_kld_weight,
+         "loss_reg_weight": cfg.loss_reg_weight,
+         "loss_gan_weight": cfg.loss_gan_weight},
+        gan_on, tb, t_gen, t_dis, g_opt, d_opt, torch.from_numpy(rand_vids))
+
+    assert set(ret.keys()) == set(metrics.keys()), \
+        (sorted(ret.keys()), sorted(metrics.keys()))
+    for k, want in ret.items():
+        np.testing.assert_allclose(float(metrics[k]), want, rtol=2e-3,
+                                   atol=1e-4, err_msg=k)
+
+    want_gen, _ = it.convert_multimodal_generator(t_gen.state_dict(), NL)
+    want_dis, _ = it.convert_discriminator(t_dis.state_dict())
+    old = jax.device_get(state.params)
+    _assert_grad_tree_close(new_state.params["gen"], old["gen"], want_gen)
+    _assert_grad_tree_close(new_state.params["dis"], old["dis"], want_dis)
