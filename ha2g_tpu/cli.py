@@ -78,6 +78,11 @@ def _prepare(cfg):
         if val_path and Path(val_path, "samples.npz").exists():
             val_s, _, _ = load_imported_samples(val_path)
         else:
+            logging.warning(
+                "no imported validation samples found (%s): validating on "
+                "the TRAINING set — per-epoch metrics and best-checkpoint "
+                "selection will be optimistic; set test_data_path/"
+                "val_data_path to an imported split", val_path or "<unset>")
             val_s = train_s
         if cfg.wordembed_path and Path(cfg.wordembed_path).exists():
             lang.load_word_vectors(cfg.wordembed_path, cfg.wordembed_dim)
@@ -320,8 +325,11 @@ def cmd_eval(argv):
 
 
 def cmd_import_checkpoint(argv):
-    """Convert a reference torch .bin hierarchy checkpoint into a native
-    checkpoint directory (loadable by synthesize/eval)."""
+    """Convert a reference torch .bin checkpoint into a native checkpoint
+    directory (loadable by synthesize/eval).  Handles every family the
+    reference's loaders handle: hierarchy (train_utils.py:169-195) and the
+    generic gen_dict checkpoints — multimodal_context, seq2seq,
+    speech2gesture, joint_embedding (train_utils.py:197-213)."""
     import jax
     from ha2g_tpu import import_torch as it
     from ha2g_tpu.checkpoint import save_checkpoint
@@ -339,8 +347,11 @@ def cmd_import_checkpoint(argv):
     system = build_system(cfg, lang.n_words, max(speaker.n_words, 1),
                           lang.word_embedding_weights)
     template = system.init(jax.random.PRNGKey(0), _dummy_batch(cfg))
-    state = it.import_hierarchy_checkpoint(ckpt, template,
-                                           n_layers=cfg.n_layers)
+    if cfg.model == "hierarchy":
+        state = it.import_hierarchy_checkpoint(ckpt, template,
+                                               n_layers=cfg.n_layers)
+    else:
+        state = it.import_generic_checkpoint(ckpt, template, cfg)
     save_checkpoint(a.out_dir, state, cfg, lang, speaker,
                     extra={"epoch": int(ckpt.get("epoch", 0)),
                            "imported_from": a.bin_path})
@@ -523,6 +534,70 @@ def cmd_compare_trajectory(argv):
     return 1 if bad else 0
 
 
+def _fmt_floats(arr, per_line=6, indent="  "):
+    """YAML flow-sequence rendering at the reference's 7-digit precision
+    (calculate_motion_stats.py:57 np.set_printoptions(precision=7))."""
+    vals = [f"{float(v):.7g}" for v in np.asarray(arr).reshape(-1)]
+    lines = [", ".join(vals[i:i + per_line])
+             for i in range(0, len(vals), per_line)]
+    return "[\n" + indent + ("," + "\n" + indent).join(lines) + "]"
+
+
+def cmd_motion_stats(argv):
+    """mean_pose / mean_dir_vec / mean bone lengths over a clip store,
+    emitted as a YAML-ready config block (reference
+    calculate_motion_stats.py:12-51 prints the same constants)."""
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.tools import motion_stats
+
+    p = argparse.ArgumentParser()
+    p.add_argument("clips", help="clip-storage directory (a train split)")
+    p.add_argument("--dataset", default="ted_expressive",
+                   choices=("ted_gesture", "ted_expressive"))
+    p.add_argument("--fps", type=int, default=15)
+    a = p.parse_args(argv)
+
+    cfg = Config(model="hierarchy", dataset=a.dataset)
+    from ha2g_tpu.data.storage import load_clips
+    clips = load_clips(a.clips)
+    stats = motion_stats(clips, cfg.skeleton, fps=a.fps)
+    total_s = sum(c["end_time"] - c["start_time"] for c in clips)
+    print(f"# {len(clips)} clips, {stats['n_frames']} frames, "
+          f"{total_s / 3600.0:.1f} h of valid clips")
+    print("mean_pose:", _fmt_floats(stats["mean_pose"]))
+    print("mean_dir_vec:", _fmt_floats(stats["mean_dir_vec"]))
+    print("# mean bone lengths (skeleton.py bone table):",
+          [round(float(v), 4) for v in stats["mean_bone_lengths"]])
+    return 0
+
+
+def cmd_angle_stats(argv):
+    """Per-angle-pair avg / var / mean |frame-to-frame change| over the
+    windowed training targets — the AnglePrior constants
+    (reference calculate_angle_stats.py:39-197)."""
+    from ha2g_tpu.config import parse_cli
+    from ha2g_tpu.tools import angle_stats
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True,
+                   help="training config (provides data paths, windowing, "
+                        "mean_dir_vec)")
+    a, rest = p.parse_known_args(argv)
+    cfg = parse_cli(["--config", a.config] + rest)
+    cfg, lang, speaker, train_s, _ = _prepare(cfg)
+
+    stats = angle_stats(np.asarray(train_s.target),
+                        cfg.mean_dir_vec_array, cfg.skeleton)
+    pairs = cfg.skeleton.angle_prior.pairs
+    print(f"# {len(train_s)} windows x {cfg.n_poses} frames, "
+          f"{len(pairs)} angle pairs")
+    print("angle_pairs:", list(map(list, pairs)))
+    print("avg_angle:", _fmt_floats(stats["avg_angle"]))
+    print("var_angle:", _fmt_floats(stats["var_angle"]))
+    print("change_angle:", _fmt_floats(stats["change_angle"]))
+    return 0
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the flagship train step takes
     minutes to compile on this host; caching makes repeat CLI invocations
@@ -547,7 +622,9 @@ def main():
             "make-librosa-goldens": cmd_make_librosa_goldens,
             "serve": cmd_serve,
             "parse-reference-log": cmd_parse_reference_log,
-            "compare-trajectory": cmd_compare_trajectory}
+            "compare-trajectory": cmd_compare_trajectory,
+            "motion-stats": cmd_motion_stats,
+            "angle-stats": cmd_angle_stats}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m ha2g_tpu.cli {{{'|'.join(cmds)}}} ...")
         return 1

@@ -177,8 +177,10 @@ def import_cache_lmdb(lmdb_dir: str, out_dir: str, n_poses: int = 34,
             if w[1] > sample_end_time:
                 break
             seq.append(lang.get_word_index(w[0]))
-        seq.append(EOS_TOKEN)
-        seq = seq[:max_words]
+        # cap long windows but always keep the EOS terminator (the
+        # reference's words_to_tensor is uncapped; seq2seq/joint-embed
+        # consumers rely on a trailing EOS)
+        seq = seq[:max_words - 1] + [EOS_TOKEN]
 
         rows["text"].append(ext)
         rows["word_seq"].append(np.asarray(seq, np.int32))

@@ -106,16 +106,118 @@ def align(audio_path: str, transcript: str, work_dir: str) -> list:
     return words
 
 
-def pose_estimation(video_path: str, work_dir: str) -> Path:
-    """Placeholder for the OpenPose/ExPose stage: the reference shells out
-    to external CUDA binaries (run_openpose.py:28, run_expose.py:16).  Any
-    estimator works as long as it writes <work>/keypoints/<vid>.npz with
-    `keypoints_2d` (list per frame of (n_people, n_points, 3)) and
-    `skeletons_3d` (F, n_joints, 3) — the layouts consumed by
-    filtering.select_main_speaker and assemble.assemble_clips."""
-    target = Path(work_dir) / "keypoints" / (Path(video_path).stem + ".npz")
+# SMPL-X joint rows the reference keeps as the 23-joint upper body
+# (make_ted_dataset.py:171-175: joints[9], joints[12], joints[16:22],
+# joints[55:60], joints[66:76])
+_EXPOSE_UPPER_BODY = (9, 12, 16, 17, 18, 19, 20, 21,
+                      55, 56, 57, 58, 59) + tuple(range(66, 76))
+
+
+def openpose_json_to_arrays(json_dir: str) -> list:
+    """OpenPose JSON output dir -> per-frame (n_people, n_points, 3) arrays.
+
+    The reference reads each frame file's ``people`` list
+    (run_openpose.py:41-54) and each person's ``pose_keypoints_2d`` (or the
+    pre-1.3 ``pose_keypoints``) flat [x, y, conf, ...] list
+    (data_utils.py:303-309).  Frames are the sorted ``*.json`` files of the
+    directory — OpenPose names them <prefix>_%012d_keypoints.json, so
+    lexicographic order is frame order.
+    """
+    import numpy as np
+
+    frames = []
+    for path in sorted(Path(json_dir).glob("*.json")):
+        people = json.loads(path.read_text()).get("people", [])
+        persons = []
+        for person in people:
+            flat = person.get("pose_keypoints_2d",
+                              person.get("pose_keypoints"))
+            if flat is None:
+                continue
+            persons.append(np.asarray(flat, np.float32).reshape(-1, 3))
+        frames.append(np.stack(persons) if persons
+                      else np.zeros((0, 25, 3), np.float32))
+    return frames
+
+
+def expose_to_skeletons(expose_dir: str, n_frames: int):
+    """ExPose inference output dir -> (n_frames, 23, 3) upper-body joints.
+
+    ExPose writes one <stem>_params.npz per frame image containing the
+    SMPL-X ``joints`` array; the reference keeps 23 upper-body rows
+    (make_ted_dataset.py:171-177) and substitutes zeros for frames with no
+    estimate.  Accepts both .npz files and the pickled dicts some ExPose
+    versions emit.
+    """
+    import pickle
+
+    import numpy as np
+
+    by_frame = {}
+    for path in sorted(Path(expose_dir).glob("**/*_params.npz")):
+        by_frame[len(by_frame)] = dict(np.load(path, allow_pickle=True))
+    if not by_frame:
+        for path in sorted(Path(expose_dir).glob("**/*_params.pkl")):
+            with open(path, "rb") as f:
+                by_frame[len(by_frame)] = pickle.load(f)
+
+    out = np.zeros((n_frames, len(_EXPOSE_UPPER_BODY), 3), np.float32)
+    for i in range(min(n_frames, len(by_frame))):
+        joints = np.asarray(by_frame[i]["joints"], np.float32)
+        if joints.ndim == 3:            # (1, n_joints, 3) batch axis
+            joints = joints[0]
+        if joints.shape[0] >= 76:
+            out[i] = joints[list(_EXPOSE_UPPER_BODY)]
+    return out
+
+
+def pose_estimation(video_path: str, work_dir: str,
+                    openpose_json_dir: str | None = None,
+                    expose_dir: str | None = None) -> Path:
+    """OpenPose/ExPose adapter: the estimators themselves are external CUDA
+    binaries (run_openpose.py:28, run_expose.py:16) that don't ship here,
+    but their on-disk outputs are consumed directly:
+
+    * OpenPose per-frame JSON (``openpose_json_dir``, default
+      ``<work>/openpose/<vid>/``) -> ``keypoints_2d``
+    * ExPose per-frame params (``expose_dir``, default
+      ``<work>/expose/<vid>/``, optional) -> ``skeletons_3d`` (F, 23, 3);
+      zeros when absent (2D-only videos, e.g. TED Gesture).
+
+    Writes <work>/keypoints/<vid>.npz with `keypoints_2d` (object array,
+    per frame (n_people, n_points, 3)) and `skeletons_3d` (F, 23, 3) — the
+    layouts consumed by filtering.select_main_speaker and
+    assemble.assemble_clips.  Any other estimator works by writing the same
+    npz contract."""
+    import numpy as np
+
+    vid = Path(video_path).stem
+    target = Path(work_dir) / "keypoints" / f"{vid}.npz"
     if target.exists():
         return target
-    raise StepUnavailable(
-        "pose estimation requires an external estimator (OpenPose + ExPose "
-        f"in the reference); place its output at {target}")
+
+    if openpose_json_dir is None:
+        candidate = Path(work_dir) / "openpose" / vid
+        openpose_json_dir = str(candidate) if candidate.is_dir() else None
+    if openpose_json_dir is None:
+        raise StepUnavailable(
+            "pose estimation requires an external estimator (OpenPose + "
+            f"ExPose in the reference); run OpenPose with --write_json into "
+            f"{Path(work_dir) / 'openpose' / vid} or place a converted "
+            f"output at {target}")
+
+    frames = openpose_json_to_arrays(openpose_json_dir)
+    if expose_dir is None:
+        candidate = Path(work_dir) / "expose" / vid
+        expose_dir = str(candidate) if candidate.is_dir() else None
+    skel_3d = (expose_to_skeletons(expose_dir, len(frames))
+               if expose_dir is not None
+               else np.zeros((len(frames), len(_EXPOSE_UPPER_BODY), 3),
+                             np.float32))
+
+    target.parent.mkdir(parents=True, exist_ok=True)
+    kp = np.empty(len(frames), dtype=object)
+    for i, f in enumerate(frames):
+        kp[i] = f
+    np.savez_compressed(target, keypoints_2d=kp, skeletons_3d=skel_3d)
+    return target

@@ -76,12 +76,19 @@ class AudioEncoder(nn.Module):
         x = ConvNormRelu(256, is_2d=True, padding="VALID")(x, train=train)
 
         # torch Upsample((n_frames, 1), bilinear, align_corners=False) on
-        # (B, C, H, W); our layout (B, H, W, C)
+        # (B, C, H, W); our layout (B, H, W, C).  antialias=False: torch's
+        # Upsample never low-pass-filters, even on the downscaled width
+        # axis (W' -> 1), and jax's default antialias=True changes those
+        # values by ~1e-3 (caught by test_s2g_generator_import_parity)
         x = jax.image.resize(x, (x.shape[0], self.n_frames, 1, x.shape[3]),
-                             method="bilinear")
+                             method="bilinear", antialias=False)
         x1 = x[:, :, 0, :]  # (B, n_frames, 256)
 
-        x2 = ConvNormRelu(256)(ConvNormRelu(256)(x1, train=train), train=train)
+        # sequential form: in `A()(B()(x))` python constructs A before B,
+        # so flax would name the OUTER module ConvNormRelu_8 while the
+        # inner one runs first — breaking checkpoint import name order
+        x2 = ConvNormRelu(256)(x1, train=train)
+        x2 = ConvNormRelu(256)(x2, train=train)
         x3 = ConvNormRelu(256, downsample=True)(x2, train=train)
         x4 = ConvNormRelu(256, downsample=True)(x3, train=train)
         x5 = ConvNormRelu(256, downsample=True)(x4, train=train)

@@ -136,3 +136,60 @@ def test_qa_report_html(tmp_path):
     assert "PASS" in text and "looking behind" in text
     assert text.count("data:image/png;base64") >= 2  # overlays inlined
     assert "66.7%" in text or "33.3%" in text  # reason shares
+
+
+def test_openpose_expose_adapter(tmp_path):
+    """OpenPose JSON frame files + ExPose params -> keypoints npz contract
+    (run_openpose.py:41-54, make_ted_dataset.py:162-177 semantics)."""
+    import json
+
+    from ha2g_tpu.dataset_pipeline.runners import (_EXPOSE_UPPER_BODY,
+                                                   pose_estimation)
+
+    rng = np.random.default_rng(0)
+    op_dir = tmp_path / "openpose" / "vid00000001"
+    op_dir.mkdir(parents=True)
+    n_frames = 6
+    # frame 3 empty (no people); frame 4 uses the pre-1.3 key name
+    for i in range(n_frames):
+        people = []
+        if i != 3:
+            n_people = 2 if i == 1 else 1
+            for p in range(n_people):
+                flat = (rng.uniform(0, 640, (25, 3)).astype(np.float32)
+                        .reshape(-1).tolist())
+                key = "pose_keypoints" if i == 4 else "pose_keypoints_2d"
+                people.append({key: flat, "face_keypoints_2d": []})
+        (op_dir / f"vid00000001_{i:012d}_keypoints.json").write_text(
+            json.dumps({"version": 1.3, "people": people}))
+
+    ex_dir = tmp_path / "expose" / "vid00000001"
+    ex_dir.mkdir(parents=True)
+    joints_per_frame = []
+    for i in range(n_frames):
+        joints = rng.normal(size=(118, 3)).astype(np.float32)
+        joints_per_frame.append(joints)
+        np.savez(ex_dir / f"frame_{i:012d}_params.npz", joints=joints)
+
+    out = pose_estimation(str(tmp_path / "videos" / "vid00000001.mp4"),
+                          str(tmp_path))
+    data = np.load(out, allow_pickle=True)
+    kp = data["keypoints_2d"]
+    assert len(kp) == n_frames
+    assert kp[0].shape == (1, 25, 3)
+    assert kp[1].shape == (2, 25, 3)
+    assert kp[3].shape == (0, 25, 3)
+    assert kp[4].shape == (1, 25, 3)  # legacy key accepted
+    skel = data["skeletons_3d"]
+    assert skel.shape == (n_frames, 23, 3)
+    np.testing.assert_allclose(
+        skel[2], joints_per_frame[2][list(_EXPOSE_UPPER_BODY)])
+
+    # the 2D frames drive main-speaker selection directly
+    from ha2g_tpu.dataset_pipeline.filtering import select_main_speaker
+    tracked = select_main_speaker(list(kp))
+    assert tracked[0] is not None
+
+    # resume: second call returns the existing npz without re-reading JSON
+    assert pose_estimation(str(tmp_path / "videos" / "vid00000001.mp4"),
+                           str(tmp_path)) == out

@@ -261,3 +261,115 @@ def test_multimodal_generator_import_parity():
                       jnp.asarray(wav.numpy()), jnp.asarray(vids.numpy()),
                       train=False, rngs={"noise": jax.random.PRNGKey(0)})
     np.testing.assert_allclose(np.asarray(out), want.numpy(), atol=2e-4)
+
+
+def test_seq2seq_import_parity():
+    """seq2seq gen_dict import (train_utils.py:197-213 family): forward
+    parity through the full autoregressive decode."""
+    torch.manual_seed(8)
+    pose_dim = 27
+    tmodel = tm.TorchSeq2SeqNet(pose_dim, T, N_WORDS, 300, HID, NL,
+                                n_pre_poses=4, n_speakers=N_SPK).eval()
+    _randomize_bn(tmodel)
+    rng = np.random.default_rng(8)
+    # packed-sequence semantics: lengths sorted decreasing like the
+    # reference collate (lmdb_data_loader.py word_seq sort)
+    tokens = torch.from_numpy(rng.integers(1, N_WORDS, (B, 12)))
+    lengths = torch.tensor([12, 9])
+    for b, ln in enumerate(lengths):
+        tokens[b, ln:] = 0
+    poses = torch.randn(B, T, pose_dim) * 0.2
+    vids = torch.randint(0, N_SPK, (B,))
+    with torch.no_grad():
+        want = tmodel(tokens, lengths, poses, vids).numpy()
+
+    from ha2g_tpu.import_torch import convert_seq2seq
+    from ha2g_tpu.models.seq2seq import Seq2SeqNet
+    params, stats = convert_seq2seq(tmodel.state_dict(), NL)
+    m = Seq2SeqNet(pose_dim=pose_dim, n_frames=T, n_words=N_WORDS,
+                   word_embed_dim=300, hidden_size=HID, n_layers=NL,
+                   n_pre_poses=4, n_speakers=N_SPK)
+    got = m.apply({"params": params, "batch_stats": stats},
+                  jnp.asarray(tokens.numpy()), jnp.asarray(lengths.numpy()),
+                  jnp.asarray(poses.numpy()), jnp.asarray(vids.numpy()),
+                  train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_s2g_generator_import_parity():
+    """speech2gesture gen_dict import: TF-SAME U-Net forward parity."""
+    torch.manual_seed(9)
+    pose_dim = 27
+    tmodel = tm.TorchS2GGenerator(T, pose_dim, 4).eval()
+    _randomize_bn(tmodel)
+    spec = torch.randn(B, 128, 70)
+    pre = torch.randn(B, 4, pose_dim) * 0.2
+    with torch.no_grad():
+        want = tmodel(spec, pre).numpy()
+
+    from ha2g_tpu.import_torch import convert_s2g_generator
+    from ha2g_tpu.models.speech2gesture import Generator
+    params, stats = convert_s2g_generator(tmodel.state_dict())
+    m = Generator(n_poses=T, pose_dim=pose_dim, n_pre_poses=4)
+    got = m.apply({"params": params, "batch_stats": stats},
+                  jnp.asarray(spec.numpy()), jnp.asarray(pre.numpy()),
+                  train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+
+def test_s2g_discriminator_import_parity():
+    torch.manual_seed(10)
+    pose_dim = 27
+    tmodel = tm.TorchS2GDiscriminator(pose_dim).eval()
+    _randomize_bn(tmodel)
+    poses = torch.randn(B, T, pose_dim) * 0.2
+    with torch.no_grad():
+        want = tmodel(poses).numpy()
+
+    from ha2g_tpu.import_torch import convert_s2g_discriminator
+    from ha2g_tpu.models.speech2gesture import Discriminator
+    params, stats = convert_s2g_discriminator(tmodel.state_dict())
+    m = Discriminator()
+    got = m.apply({"params": params, "batch_stats": stats},
+                  jnp.asarray(poses.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               atol=1e-4)
+
+
+def test_joint_embed_import_parity():
+    """joint_embedding gen_dict import: ContextEncoder + PoseEncoderConv +
+    PoseDecoderGRU forward parity (speech and pose decode paths)."""
+    torch.manual_seed(11)
+    pose_dim = 27
+    tmodel = tm.TorchEmbeddingNetFull(pose_dim, T, N_WORDS, 300,
+                                      hidden=300, n_layers=4).eval()
+    _randomize_bn(tmodel)
+    with torch.no_grad():
+        # freeze context z at mu on both sides
+        tmodel.context_encoder.fc_logvar.weight.zero_()
+        tmodel.context_encoder.fc_logvar.bias.fill_(-100.0)
+    rng = np.random.default_rng(11)
+    tokens = torch.from_numpy(rng.integers(0, N_WORDS, (B, T)))
+    audio = torch.randn(B, int(round(T / 15 * 16000))) * 0.1
+    pre = torch.randn(B, 4, pose_dim) * 0.2
+    poses = torch.randn(B, T, pose_dim) * 0.2
+    with torch.no_grad():
+        ctx_feat, ctx_mu, _, pose_feat, want_out = tmodel(
+            tokens, audio, pre, poses, input_mode="speech")
+
+    from ha2g_tpu.import_torch import convert_embedding_net_full
+    from ha2g_tpu.models.embedding_net import EmbeddingNet
+    params, stats = convert_embedding_net_full(tmodel.state_dict())
+    m = EmbeddingNet(pose_dim=pose_dim, n_frames=T, mode="speech",
+                     n_words=N_WORDS, word_embed_dim=300)
+    (got_ctx, got_mu, _, got_pose, _, _, got_out) = m.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(tokens.numpy()), jnp.asarray(audio.numpy()),
+        jnp.asarray(pre.numpy()), jnp.asarray(poses.numpy()),
+        input_mode="speech", train=False,
+        rngs={"noise": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(got_mu), ctx_mu.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_pose), pose_feat.numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_out), want_out.numpy(),
+                               atol=1e-3)
