@@ -174,8 +174,22 @@ def _write_tensor_legacy(arr: np.ndarray, out: bytearray):
     out += body
 
 
-def serialize(obj) -> bytes:
-    """``pyarrow.serialize(obj).to_buffer()`` equivalent."""
+def _write_tensor_modern(arr: np.ndarray, out: bytearray):
+    """Append one Tensor IPC message in the post-0.15 continuation-marker
+    envelope, exactly as pyarrow 0.15-0.17's serialize wrote it."""
+    sink = pa.BufferOutputStream()
+    pa.ipc.write_tensor(pa.Tensor.from_numpy(np.ascontiguousarray(arr)),
+                        sink)
+    out += sink.getvalue().to_pybytes()
+
+
+def serialize(obj, legacy_envelope: bool = True) -> bytes:
+    """``pyarrow.serialize(obj).to_buffer()`` equivalent.
+
+    legacy_envelope=True reproduces pyarrow 0.14's framing (the released
+    TED datasets); False writes the post-0.15 continuation-marker framing
+    that pyarrow 0.15-0.17 produced — both must deserialize identically.
+    """
     ndarrays: list[np.ndarray] = []
     top = _SequenceBuilder(ndarrays)
     top.append(obj)  # the [value] wrapping: one-row top-level union
@@ -187,7 +201,7 @@ def serialize(obj) -> bytes:
 
     sink = pa.BufferOutputStream()
     opts = pa.ipc.IpcWriteOptions(
-        use_legacy_format=True,
+        use_legacy_format=legacy_envelope,
         metadata_version=pa.ipc.MetadataVersion.V4)
     batch = pa.record_batch([union], names=["list"])
     with pa.ipc.new_stream(sink, batch.schema, options=opts) as writer:
@@ -196,7 +210,10 @@ def serialize(obj) -> bytes:
 
     for arr in ndarrays:
         out += b"\x00" * _pad_to(len(out), _ALIGN_TENSOR)
-        _write_tensor_legacy(arr, out)
+        if legacy_envelope:
+            _write_tensor_legacy(arr, out)
+        else:
+            _write_tensor_modern(arr, out)
     return bytes(out)
 
 

@@ -45,6 +45,18 @@ def precision(dtype):
 
     Accepts a dtype or a config string ('float32' / 'bfloat16' / ...).
     ``precision(None)`` / ``precision('float32')`` are no-ops.
+
+    TRACE-TIME BINDING: the context variable is consulted while jax traces
+    a function, and the chosen dtype is baked into the compiled program —
+    it is NOT part of ``jax.jit``'s cache key.  Wrapping a *call* to an
+    already-jitted function in ``precision(...)`` does nothing, and reusing
+    one jitted closure under different precision contexts silently reuses
+    the first trace's dtype.  The rule the training systems follow: open
+    ``precision(cfg.compute_dtype)`` INSIDE the function being jitted, and
+    build a fresh closure per config (``make_train_step`` does both), so
+    each (system, dtype) pair owns its own jit cache entry.  User code that
+    jits model calls directly must do the same — rebuild the jitted
+    function when the compute dtype changes.
     """
     if dtype is None:
         dtype = jnp.float32

@@ -289,40 +289,65 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
         body = jnp.moveaxis(body, 0, 1).reshape(B, -1, ys.shape[-1])
         return jnp.concatenate([body, ys[-1]], axis=1)
 
-    def generate_fused(self, audio: np.ndarray, words_per_clip, lang: Vocab,
-                       vids: np.ndarray,
-                       rng: Optional[jax.Array] = None) -> np.ndarray:
-        """One-device-call variant of generate() (identical windowing and
-        cross-fade math)."""
+    def prepare_fused(self, words_per_clip, lang: Vocab, vids: np.ndarray,
+                      n_samples: int,
+                      rng: Optional[jax.Array] = None) -> dict:
+        """Host-side preparation for the fused loop: window layout, the
+        per-window frame-aligned word-index tensor, and spectrogram slice
+        offsets.  Depends only on transcripts + clip length — NOT the audio
+        samples — so callers synthesizing many audio takes of one script
+        (and benchmarks) do it once and reuse the plan."""
         cfg = self.cfg
-        B, n_samples = audio.shape
         clip_seconds = n_samples / SR
         unit_time, stride_time, num_sub = _window_layout(cfg, clip_seconds)
         spec_len = spectrogram_length_for(cfg.n_poses,
                                           cfg.motion_resampling_framerate)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        full_spec = _mel_any(audio)
-        S_total = full_spec.shape[2]
+        # spectrogram frame count the mel front-end will produce (ops/mel.py:
+        # hop 512, center-padded): needed for slice offsets before the audio
+        # is seen
+        S_total = n_samples // 512 + 1
         s0_all = np.asarray(
             [math.floor(i * stride_time / clip_seconds * S_total)
              for i in range(num_sub)], np.int32)
-        max_s1 = int(s0_all.max()) + spec_len
-        if max_s1 > S_total:
-            full_spec = jnp.pad(full_spec,
-                                ((0, 0), (0, 0), (0, max_s1 - S_total)),
-                                mode="edge")
         text_all = np.stack([
             np.stack([frame_aligned_word_indices(
                 w, i * stride_time, i * stride_time + unit_time,
                 cfg.n_poses, lang) for w in words_per_clip])
             for i in range(num_sub)])  # (W, B, T)
+        return {"text_all": jnp.asarray(text_all),
+                "s0_all": jnp.asarray(s0_all),
+                "vids": jnp.asarray(vids), "rng": rng,
+                "num_sub": num_sub, "spec_len": spec_len,
+                "S_total": S_total,
+                "pad_to": int(s0_all.max()) + spec_len}
 
-        out = self._fused_step(self.state, full_spec,
-                               jnp.asarray(text_all), jnp.asarray(s0_all),
-                               jnp.asarray(vids), rng,
-                               num_sub=num_sub, spec_len=spec_len)
+    def run_fused(self, audio: np.ndarray, plan: dict) -> np.ndarray:
+        """Device portion of the fused loop: mel front-end, window scan,
+        cross-fade, and the device->host pull.  `plan` from prepare_fused."""
+        full_spec = _mel_any(audio)
+        assert full_spec.shape[2] == plan["S_total"], \
+            (full_spec.shape, plan["S_total"])
+        if plan["pad_to"] > plan["S_total"]:
+            full_spec = jnp.pad(
+                full_spec,
+                ((0, 0), (0, 0), (0, plan["pad_to"] - plan["S_total"])),
+                mode="edge")
+        out = self._fused_step(self.state, full_spec, plan["text_all"],
+                               plan["s0_all"], plan["vids"], plan["rng"],
+                               num_sub=plan["num_sub"],
+                               spec_len=plan["spec_len"])
         return np.asarray(out)
+
+    def generate_fused(self, audio: np.ndarray, words_per_clip, lang: Vocab,
+                       vids: np.ndarray,
+                       rng: Optional[jax.Array] = None) -> np.ndarray:
+        """One-device-call variant of generate() (identical windowing and
+        cross-fade math)."""
+        B, n_samples = np.asarray(audio).shape
+        plan = self.prepare_fused(words_per_clip, lang, vids, n_samples, rng)
+        return self.run_fused(audio, plan)
 
 
 class MultimodalSynthesizer(SlidingWindowSynthesizer):

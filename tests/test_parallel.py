@@ -86,3 +86,108 @@ def test_sharded_batch_stays_sharded():
     new_state, _ = step(state, batch, jax.random.PRNGKey(1))
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert len(leaf.sharding.device_set) == 8  # replicated across the mesh
+
+
+# ---------------------------------------------------------------------------
+# Flagship (hierarchy GAN) sharded-vs-single equivalence
+# ---------------------------------------------------------------------------
+
+HB, HT, HSPEC_T = 16, 34, 70
+HN_WORDS, HN_SPK = 20, 5
+
+
+def _hier_system():
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+    cfg = Config(model="hierarchy", dataset="ted_gesture", pose_dim=27,
+                 n_poses=HT, n_pre_poses=4, hidden_size=16, n_layers=2,
+                 z_type="speaker", loss_warmup=10, loss_gan_weight=5.0,
+                 loss_regression_weight=70.0, loss_kld_weight=0.1,
+                 loss_reg_weight=0.05, loss_contrastive_pos_weight=0.2,
+                 loss_contrastive_neg_weight=0.005,
+                 loss_physical_weight=0.01,
+                 mean_dir_vec=list(np.zeros(27)))
+    sys_ = HierarchySystem(cfg, n_words=HN_WORDS, n_speakers=HN_SPK)
+    # SGD makes post-step parameter deltas equal -lr * grad, so comparing
+    # updated params compares every gradient across shardings (Adam's
+    # sign-like first step would amplify fp-epsilon differences)
+    import optax
+    sys_.g_tx = optax.sgd(0.05)
+    sys_.d_tx = optax.sgd(0.01)
+    rng = np.random.default_rng(7)
+    batch = {
+        "text": jnp.asarray(rng.integers(0, HN_WORDS, (HB, HT))),
+        "spec": jnp.asarray(
+            rng.normal(size=(HB, 128, HSPEC_T)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.normal(size=(HB, HT, 27)).astype(np.float32) * 0.1),
+        "vids": jnp.asarray(rng.integers(0, HN_SPK, (HB,))),
+    }
+    return sys_, batch
+
+
+def _tree_allclose(a, b, rtol, atol):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("gan_on", [True, False])
+def test_hierarchy_sharded_step_matches_single(gan_on):
+    """The full flagship GAN train step (D phase, shared-audio vjp, cascade,
+    contrastive, div-reg, physical prior) on the 8-device mesh reproduces
+    single-device numbers: all metrics, all BN stats, and — via SGD — every
+    gradient.  jax_threefry_partitionable makes the dropout/noise draws
+    sharding-invariant, so full training stochasticity stays ON."""
+    sys_, batch = _hier_system()
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    step = sys_.make_train_step(gan_on=gan_on)
+    rng = jax.random.PRNGKey(3)
+
+    s1, m1 = step(state, batch, rng)
+
+    mesh = data_mesh()
+    state_r = jax.device_put(state, replicate(mesh))
+    batch_s = jax.device_put(batch, batch_sharding(mesh))
+    s8, m8 = step(state_r, batch_s, rng)
+
+    assert set(m1.keys()) == set(m8.keys())
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=5e-4,
+                                   atol=1e-4, err_msg=k)
+    _tree_allclose(s1.batch_stats, s8.batch_stats, rtol=1e-4, atol=1e-5)
+    # parameter DELTAS (= -lr * grad under SGD) compared per leaf by norm:
+    # the sharded all-reduce reorders fp32 accumulation, which shows up as
+    # >10% elementwise error on near-cancelling components of small
+    # leaves; a wrong collective/sharding would flip whole-leaf norms and
+    # directions instead
+    old_leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    for a, b, o in zip(jax.tree_util.tree_leaves(s1.params),
+                       jax.tree_util.tree_leaves(s8.params), old_leaves):
+        da = (np.asarray(a, np.float64) - np.asarray(o, np.float64)).ravel()
+        db = (np.asarray(b, np.float64) - np.asarray(o, np.float64)).ravel()
+        diff = np.linalg.norm(da - db)
+        if diff <= 3e-5:
+            continue
+        nb = np.linalg.norm(db)
+        assert diff / nb <= 0.02, (diff, nb)
+        cos = float(np.dot(da, db) / (np.linalg.norm(da) * nb + 1e-30))
+        assert cos >= 0.999, cos
+
+
+def test_hierarchy_sharded_eval_matches_single():
+    sys_, batch = _hier_system()
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    eval_step = sys_.make_eval_step()
+    rng = jax.random.PRNGKey(4)
+
+    out1, l1_1 = eval_step(state, batch, rng)
+
+    mesh = data_mesh()
+    out8, l1_8 = eval_step(jax.device_put(state, replicate(mesh)),
+                           jax.device_put(batch, batch_sharding(mesh)), rng)
+    np.testing.assert_allclose(float(l1_1), float(l1_8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8),
+                               atol=2e-5)
