@@ -598,6 +598,43 @@ def cmd_angle_stats(argv):
     return 0
 
 
+def cmd_build_dataset(argv):
+    """Dataset-construction orchestrator: download -> audio -> pose ->
+    scenes -> word timings -> filter -> assembled clip-storage splits
+    (the reference's hand-run per-step scripts, dataset_script/README.md:
+    37-88, chained with artifact-level resume)."""
+    from ha2g_tpu.dataset_pipeline.pipeline import build_dataset
+
+    p = argparse.ArgumentParser()
+    p.add_argument("ids", nargs="*", help="YouTube video ids")
+    p.add_argument("--video-ids", default=None,
+                   help="file with one video id per line "
+                        "(reference video_ids.txt)")
+    p.add_argument("--work", required=True, help="working directory "
+                   "(videos/, audio/, keypoints/, scenes/, align/)")
+    p.add_argument("--out", required=True, help="clip-storage output dir")
+    p.add_argument("--fps", type=float, default=25.0)
+    p.add_argument("--min-shoulder-px", type=float, default=100.0)
+    p.add_argument("--qa-report", action="store_true",
+                   help="write <out>/qa_report.html (the headless "
+                        "review_filtered_clips replacement)")
+    a = p.parse_args(argv)
+
+    ids = list(a.ids)
+    if a.video_ids:
+        ids += [ln.strip() for ln in Path(a.video_ids).read_text().split()
+                if ln.strip() and not ln.startswith("#")]
+    if not ids:
+        print("no video ids given")
+        return 1
+    logging.basicConfig(level=logging.INFO)
+    result = build_dataset(ids, a.work, a.out, fps=a.fps,
+                           min_shoulder_px=a.min_shoulder_px,
+                           qa_report=a.qa_report)
+    print(result)
+    return 0 if result["videos"] else 1
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the flagship train step takes
     minutes to compile on this host; caching makes repeat CLI invocations
@@ -624,7 +661,8 @@ def main():
             "parse-reference-log": cmd_parse_reference_log,
             "compare-trajectory": cmd_compare_trajectory,
             "motion-stats": cmd_motion_stats,
-            "angle-stats": cmd_angle_stats}
+            "angle-stats": cmd_angle_stats,
+            "build-dataset": cmd_build_dataset}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m ha2g_tpu.cli {{{'|'.join(cmds)}}} ...")
         return 1

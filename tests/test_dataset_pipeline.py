@@ -193,3 +193,102 @@ def test_openpose_expose_adapter(tmp_path):
     # resume: second call returns the existing npz without re-reading JSON
     assert pose_estimation(str(tmp_path / "videos" / "vid00000001.mp4"),
                            str(tmp_path)) == out
+
+
+VTT_FIXTURE = """WEBVTT
+Kind: captions
+Language: en
+
+00:00:00.000 --> 00:00:02.000 align:start position:0%
+
+hello<00:00:00.500><c> there</c><00:00:01.100><c> friends</c>
+
+00:00:02.000 --> 00:00:04.000
+plain cue words here
+"""
+
+
+def test_parse_vtt_word_timing():
+    """YouTube auto-sub vtt -> word list, mirroring SubtitleWrapper
+    (data_utils.py:377-427): inline <ts> is each word's END, start is the
+    previous word's end; plain cues space words uniformly."""
+    from ha2g_tpu.dataset_pipeline.pipeline import parse_vtt
+
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".vtt", delete=False) as f:
+        f.write(VTT_FIXTURE)
+        path = f.name
+    words = parse_vtt(path)
+    assert words[0] == ("hello", 0.0, 0.5)
+    assert words[1] == ("there", 0.5, 1.1)
+    assert words[2] == ("friends", 1.1, 2.0)
+    # plain cue: 4 words over [2, 4) -> 0.5 s each
+    assert words[3] == ("plain", 2.0, 2.5)
+    assert words[6] == ("here", 3.5, 4.0)
+
+
+def _person25(x, conf=0.9):
+    """BODY_25-shaped person: the existing 8-point _person padded to the
+    25 rows real OpenPose output carries."""
+    p = np.zeros((25, 3), np.float32)
+    p[:8] = _person(x, conf=conf)
+    return p
+
+
+def test_build_dataset_from_artifacts(tmp_path):
+    """Full orchestration over a work dir pre-populated with the artifacts
+    the external tools would produce (every runner resumes from its
+    output), through filtering and assembly to a loadable clip store."""
+    import json
+    import wave
+
+    from ha2g_tpu.cli import cmd_build_dataset
+    from ha2g_tpu.data.storage import load_clips
+
+    work = tmp_path / "work"
+    vid = "vid_test0001"
+    (work / "videos").mkdir(parents=True)
+    (work / "videos" / f"{vid}.mp4").write_bytes(b"\x00")  # download resume
+    (work / "audio").mkdir()
+    n_frames, fps = 250, 25.0
+    sr, seconds = 16000, n_frames / fps
+    t = np.arange(int(sr * seconds)) / sr
+    pcm = (0.2 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    with wave.open(str(work / "audio" / f"{vid}.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+    # keypoints: one good speaker for frames [0, 150), none after (the
+    # second scene must be rejected as missing joints)
+    rng = np.random.default_rng(0)
+    kp = np.empty(n_frames, dtype=object)
+    for i in range(n_frames):
+        kp[i] = (np.stack([_person25(300 + 0.2 * i)]) if i < 150
+                 else np.zeros((0, 25, 3), np.float32))
+    (work / "keypoints").mkdir()
+    np.savez_compressed(work / "keypoints" / f"{vid}.npz",
+                        keypoints_2d=kp,
+                        skeletons_3d=rng.normal(
+                            size=(n_frames, 23, 3)).astype(np.float32))
+    (work / "scenes").mkdir()
+    (work / "scenes" / f"{vid}.csv").write_text("0,150\n150,250\n")
+    # word timings via the auto-sub vtt fallback
+    (work / "videos" / f"{vid}-en-auto.vtt").write_text(
+        "WEBVTT\n\n00:00:00.000 --> 00:00:06.000\n"
+        "hello<00:00:01.000><c> gesture</c><00:00:02.000><c> world</c>\n")
+
+    out = tmp_path / "data"
+    rc = cmd_build_dataset([vid, "--work", str(work), "--out", str(out),
+                            "--qa-report"])
+    assert rc == 0
+    clips = []
+    for split in ("train", "val", "test"):
+        if (out / split).exists():
+            clips += load_clips(out / split)
+    assert len(clips) == 1                     # scene 2 rejected
+    assert clips[0]["vid"] == vid
+    assert clips[0]["skeletons_3d"].shape == (150, 23, 3)
+    assert clips[0]["words"][0][0] == "hello"
+    assert (out / "qa_report.html").exists()
