@@ -171,6 +171,34 @@ def batched_log_mel_i16(pcm: jnp.ndarray) -> jnp.ndarray:
         pcm.astype(jnp.float32) / 32768.0)
 
 
+# G.711 mu-law: 8-bit companded PCM (telephony's native format).  Decode
+# runs on device (a handful of elementwise ops), so bandwidth-constrained
+# callers ship ONE byte per sample — a quarter of float32, half of int16.
+_MULAW_MU = 255.0
+
+
+def mulaw_encode_np(x: np.ndarray) -> np.ndarray:
+    """float waveform in [-1, 1] -> uint8 mu-law bytes (host-side helper
+    for clients/tests; G.711's continuous-mu approximation)."""
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MULAW_MU * np.abs(x)) / np.log1p(_MULAW_MU)
+    return ((y + 1.0) / 2.0 * _MULAW_MU + 0.5).astype(np.uint8)
+
+
+def mulaw_decode(u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 mu-law bytes -> float32 waveform in [-1, 1] (device-side)."""
+    y = u8.astype(jnp.float32) * (2.0 / _MULAW_MU) - 1.0
+    return jnp.sign(y) * (jnp.power(1.0 + _MULAW_MU, jnp.abs(y)) - 1.0) \
+        / _MULAW_MU
+
+
+@jax.jit
+def batched_log_mel_mulaw(u8: jnp.ndarray) -> jnp.ndarray:
+    """mu-law uint8 PCM variant: one byte per sample over the host->device
+    link, decoded to float on device before the mel front-end."""
+    return jax.vmap(log_mel_spectrogram)(mulaw_decode(u8))
+
+
 # ---------------------------------------------------------------------------
 # NumPy reference (independent math path, for unit tests only)
 # ---------------------------------------------------------------------------

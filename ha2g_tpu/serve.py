@@ -9,7 +9,9 @@ HTTP/JSON API with no extra dependencies (stdlib http.server).
 
   python -m ha2g_tpu.cli serve <checkpoint_dir> --port 8017
 
-  POST /synthesize   {"audio": [..f32 16 kHz pcm..] | base64,
+  POST /synthesize   {"audio": [..16 kHz pcm..] | base64,
+                      "encoding": "pcm_f32" (default) | "pcm_i16"
+                                  | "pcm_mulaw"  (G.711, 1 byte/sample),
                       "words": [["hello", 0.1, 0.4], ...],
                       "vid": 0, "fused": true}
       -> {"dir_vec": base64 float32, "shape": [T, pose_dim],
@@ -183,9 +185,20 @@ class GestureService:
 # HTTP front-end
 # ---------------------------------------------------------------------------
 
-def _decode_audio(payload) -> np.ndarray:
-    if isinstance(payload, str):  # base64 of float32 little-endian pcm
-        return np.frombuffer(base64.b64decode(payload), "<f4").copy()
+def _decode_audio(payload, encoding: str = "pcm_f32") -> np.ndarray:
+    """base64 or list payload -> float32 waveform.  `encoding` names the
+    wire sample format: pcm_f32 (default), pcm_i16 (half the payload), or
+    pcm_mulaw (G.711 mu-law bytes, a quarter — telephony callers send
+    their native format directly)."""
+    if isinstance(payload, str):
+        raw = base64.b64decode(payload)
+        if encoding == "pcm_i16":
+            return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        if encoding == "pcm_mulaw":
+            y = np.frombuffer(raw, np.uint8).astype(np.float32) \
+                * (2.0 / 255.0) - 1.0
+            return np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) / 255.0
+        return np.frombuffer(raw, "<f4").copy()
     return np.asarray(payload, np.float32)
 
 
@@ -222,7 +235,8 @@ def make_http_server(service: GestureService, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                audio = _decode_audio(req["audio"])
+                audio = _decode_audio(req["audio"],
+                                      req.get("encoding", "pcm_f32"))
                 sent_s = len(audio) / SR
                 t0 = time.perf_counter()
                 out = service.synthesize(

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from ha2g_tpu.config import Config
 from ha2g_tpu.data.dataset import spectrogram_length_for
 from ha2g_tpu.data.vocab import EOS_TOKEN, SOS_TOKEN, Vocab
-from ha2g_tpu.ops.mel import (batched_log_mel,
-                              batched_log_mel_i16, log_mel_spectrogram)
+from ha2g_tpu.ops.mel import (batched_log_mel, batched_log_mel_i16,
+                              batched_log_mel_mulaw, log_mel_spectrogram)
 from ha2g_tpu.skeleton import SkeletonSpec
 from ha2g_tpu.train.cascade import run_cascade
 
@@ -38,11 +38,15 @@ SR = 16000
 
 
 def _mel_any(audio: np.ndarray):
-    """Batched device mel for float32 audio or int16 PCM.  int16 halves
-    the host->device upload (the dominant cost of batch synthesis over
-    this TPU's tunnel); dequantization happens on device."""
-    if np.asarray(audio).dtype == np.int16:
+    """Batched device mel for float32 audio, int16 PCM, or uint8 mu-law.
+    The compact formats shrink the host->device upload (the dominant cost
+    of batch synthesis over this TPU's tunnel: int16 halves it, mu-law
+    quarters it); dequantization happens on device."""
+    dt = np.asarray(audio).dtype
+    if dt == np.int16:
         return batched_log_mel_i16(jnp.asarray(audio))
+    if dt == np.uint8:
+        return batched_log_mel_mulaw(jnp.asarray(audio))
     return batched_log_mel(jnp.asarray(audio))
 
 
@@ -121,10 +125,13 @@ class SlidingWindowSynthesizer:
         vids (B,) -> (B, total_frames, pose_dim)."""
         cfg = self.cfg
         audio = np.asarray(audio)
-        if audio.dtype == np.int16 and self.uses_audio:
-            # raw-waveform models consume float audio; the int16 fast path
-            # only helps spectrogram models (dequantized on device)
+        if self.uses_audio and audio.dtype == np.int16:
+            # raw-waveform models consume float audio; the compact-PCM
+            # fast paths only help spectrogram models (decoded on device)
             audio = audio.astype(np.float32) / 32768.0
+        elif self.uses_audio and audio.dtype == np.uint8:
+            y = audio.astype(np.float32) * (2.0 / 255.0) - 1.0
+            audio = np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) / 255.0
         B, n_samples = audio.shape
         clip_seconds = n_samples / SR
         unit_time, stride_time, num_sub = _window_layout(cfg, clip_seconds)
@@ -323,9 +330,36 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                 "S_total": S_total,
                 "pad_to": int(s0_all.max()) + spec_len}
 
-    def run_fused(self, audio: np.ndarray, plan: dict) -> np.ndarray:
+    def run_fused(self, audio: np.ndarray, plan: dict,
+                  chunk: int = 0) -> np.ndarray:
         """Device portion of the fused loop: mel front-end, window scan,
-        cross-fade, and the device->host pull.  `plan` from prepare_fused."""
+        cross-fade, and the device->host pull.  `plan` from prepare_fused.
+
+        chunk > 0 splits the clip batch into chunks and dispatches them
+        asynchronously: jax queues each chunk's upload + compute without
+        blocking, so chunk i+1's host->device transfer overlaps chunk i's
+        compute and chunk i's device->host pull.  On this TPU's tunnel
+        (~40 MB/s, measured) the 256-clip x 20 s int16 upload is ~4 s while
+        the whole 9-window compute is ~0.2 s — pipelining hides everything
+        except the transfers themselves.
+
+        Caveat: the speaker-z reparameterization eps is drawn per batch,
+        so chunking changes the draw exactly like synthesizing the clips
+        in smaller batches would (the reference's randn_like behaves the
+        same); with z_type='speaker' and a trained (finite-logvar) model
+        the std is tiny, and with z pinned at mu results are bit-equal
+        (tests/test_synthesis.py::test_fused_chunked_matches_unchunked)."""
+        B = audio.shape[0]
+        if chunk <= 0 or chunk >= B:
+            return np.asarray(self._run_fused_one(audio, plan, 0, B))
+        outs = []
+        for i in range(0, B, chunk):
+            n = min(chunk, B - i)
+            outs.append(self._run_fused_one(audio[i:i + n], plan, i, n))
+        # pull in dispatch order; later chunks keep computing meanwhile
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+    def _run_fused_one(self, audio, plan, i, n):
         full_spec = _mel_any(audio)
         assert full_spec.shape[2] == plan["S_total"], \
             (full_spec.shape, plan["S_total"])
@@ -334,11 +368,12 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                 full_spec,
                 ((0, 0), (0, 0), (0, plan["pad_to"] - plan["S_total"])),
                 mode="edge")
-        out = self._fused_step(self.state, full_spec, plan["text_all"],
-                               plan["s0_all"], plan["vids"], plan["rng"],
-                               num_sub=plan["num_sub"],
-                               spec_len=plan["spec_len"])
-        return np.asarray(out)
+        return self._fused_step(self.state, full_spec,
+                                plan["text_all"][:, i:i + n],
+                                plan["s0_all"], plan["vids"][i:i + n],
+                                plan["rng"],
+                                num_sub=plan["num_sub"],
+                                spec_len=plan["spec_len"])
 
     def generate_fused(self, audio: np.ndarray, words_per_clip, lang: Vocab,
                        vids: np.ndarray,

@@ -132,3 +132,40 @@ def test_http_error_path(service):
         assert ei.value.code == 500
     finally:
         httpd.shutdown()
+
+
+def test_http_compact_encodings(service):
+    """pcm_i16 and pcm_mulaw request encodings decode to (near-)identical
+    waveforms, so responses match the float32 request closely."""
+    from ha2g_tpu.serve import make_http_server
+    from ha2g_tpu.ops.mel import mulaw_encode_np
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        wave = (np.random.default_rng(5).normal(size=SR)
+                .astype("<f4") * 0.1)
+
+        def post(audio_bytes, encoding):
+            body = json.dumps({
+                "audio": base64.b64encode(audio_bytes).decode(),
+                "encoding": encoding,
+                "words": [["w1", 0.1, 0.3]], "vid": 0,
+                "fused": False}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                resp = json.loads(r.read())
+            return np.frombuffer(base64.b64decode(resp["dir_vec"]),
+                                 "<f4").reshape(resp["shape"])
+
+        ref = post(wave.tobytes(), "pcm_f32")
+        i16 = post((wave * 32768.0).astype("<i2").tobytes(), "pcm_i16")
+        u8 = post(mulaw_encode_np(wave).tobytes(), "pcm_mulaw")
+        assert ref.shape == i16.shape == u8.shape
+        np.testing.assert_allclose(i16, ref, atol=2e-3)
+        np.testing.assert_allclose(u8, ref, atol=3e-2)
+    finally:
+        httpd.shutdown()

@@ -127,3 +127,66 @@ def test_fused_hierarchy_matches_host_loop():
     fused = synth.generate_fused(audio, words, _lang(), vids, rng=key)
     assert host.shape == fused.shape
     np.testing.assert_allclose(fused, host, atol=2e-5)
+
+
+def test_fused_chunked_matches_unchunked():
+    """Pipelined chunked dispatch (run_fused(chunk=N)) is pure scheduling:
+    per-clip independence means results are element-equal to one shot."""
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+    from ha2g_tpu.synthesis import HierarchySynthesizer
+    cfg = Config(model="hierarchy", dataset="ted_gesture", pose_dim=27,
+                 n_poses=T, n_pre_poses=4, hidden_size=32, n_layers=2,
+                 z_type="speaker")
+    sys_ = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (2, T))),
+        "spec": jnp.asarray(rng.normal(size=(2, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(rng.normal(size=(2, T, 27)).astype(np.float32)),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (2,))),
+    }
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    # pin speaker z at mu: the reparameterization eps draw's shape is the
+    # batch size, so ANY batch-size change (chunking included) changes the
+    # draw — the same behavior as the reference's torch.randn_like.  With
+    # z == mu the fused pipeline is purely per-clip and chunk-invariant.
+    params = jax.device_get(state.params)
+    for g in params["gens"]:
+        lv = g["SpeakerZ_0"]["Dense_2"]["Dense_0"]
+        lv["kernel"] = np.zeros_like(lv["kernel"])
+        lv["bias"] = np.full_like(lv["bias"], -100.0)
+    state = state.replace(params=params)
+    synth = HierarchySynthesizer(sys_, state)
+    audio, words, vids = _clip_inputs(B=4, seconds=5.0)
+    plan = synth.prepare_fused(words, _lang(), vids, audio.shape[1],
+                               rng=jax.random.PRNGKey(7))
+    one = synth.run_fused(audio, plan)
+    chunked = synth.run_fused(audio, plan, chunk=2)
+    np.testing.assert_array_equal(one, chunked)
+
+
+def test_mulaw_audio_input():
+    """uint8 mu-law input: codec round trip is transparent enough that the
+    log-mel features (and thus synthesis) stay close to the float path."""
+    from ha2g_tpu.ops.mel import (batched_log_mel, batched_log_mel_mulaw,
+                                  mulaw_encode_np, mulaw_decode)
+    rng = np.random.default_rng(3)
+    t = np.arange(16000 * 2) / 16000.0
+    wave = (0.4 * np.sin(2 * np.pi * 220 * t)
+            + 0.2 * np.sin(2 * np.pi * 733 * t)
+            + 0.02 * rng.normal(size=t.shape)).astype(np.float32)[None]
+    u8 = mulaw_encode_np(wave)
+    assert u8.dtype == np.uint8
+
+    # decode SNR: G.711-grade companding is ~35+ dB on speech-level signals
+    dec = np.asarray(mulaw_decode(jnp.asarray(u8)))
+    snr = 10 * np.log10(np.mean(wave ** 2) / np.mean((dec - wave) ** 2))
+    assert snr > 30, snr
+
+    m_f = np.asarray(batched_log_mel(jnp.asarray(wave)))
+    m_u = np.asarray(batched_log_mel_mulaw(jnp.asarray(u8)))
+    assert m_u.shape == m_f.shape
+    # log-mel dB features: close over the energetic region
+    mask = m_f > (m_f.max() - 40.0)
+    assert np.abs(m_u - m_f)[mask].mean() < 1.0
+    assert np.abs(m_u - m_f)[mask].max() < 6.0
