@@ -331,17 +331,25 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                 "pad_to": int(s0_all.max()) + spec_len}
 
     def run_fused(self, audio: np.ndarray, plan: dict,
-                  chunk: int = 0) -> np.ndarray:
+                  chunk: int = 0, out_dtype=None) -> np.ndarray:
         """Device portion of the fused loop: mel front-end, window scan,
         cross-fade, and the device->host pull.  `plan` from prepare_fused.
 
-        chunk > 0 splits the clip batch into chunks and dispatches them
-        asynchronously: jax queues each chunk's upload + compute without
-        blocking, so chunk i+1's host->device transfer overlaps chunk i's
-        compute and chunk i's device->host pull.  On this TPU's tunnel
-        (~40 MB/s, measured) the 256-clip x 20 s int16 upload is ~4 s while
-        the whole 9-window compute is ~0.2 s — pipelining hides everything
-        except the transfers themselves.
+        The whole path is tunnel-bandwidth-bound on this TPU (~40 MB/s
+        measured on incompressible data, vs 0.24 s of device compute for
+        256 x 20 s clips), so the knobs below all shrink or overlap
+        transfers:
+
+        * compact input: pass int16 PCM (half of float32) or uint8 mu-law
+          (a quarter) — decoded on device by the mel front-end.
+        * chunk > 0 splits the clip batch into chunks and dispatches them
+          asynchronously: jax queues each chunk's upload + compute without
+          blocking, so chunk i+1's host->device transfer overlaps chunk
+          i's compute and chunk i's device->host pull.
+        * out_dtype=np.float16 casts the pose output on device and halves
+          the device->host pull; the host result is upcast back to
+          float32.  Dir-vec components are O(0.1-1), so the f16 rounding
+          error (~5e-4 relative) is far below the codec/model noise floor.
 
         Caveat: the speaker-z reparameterization eps is drawn per batch,
         so chunking changes the draw exactly like synthesizing the clips
@@ -350,14 +358,20 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
         the std is tiny, and with z pinned at mu results are bit-equal
         (tests/test_synthesis.py::test_fused_chunked_matches_unchunked)."""
         B = audio.shape[0]
+
+        def cast(o):
+            return o.astype(jnp.float16) if out_dtype == np.float16 else o
+
         if chunk <= 0 or chunk >= B:
-            return np.asarray(self._run_fused_one(audio, plan, 0, B))
+            out = np.asarray(cast(self._run_fused_one(audio, plan, 0, B)))
+            return out.astype(np.float32) if out.dtype != np.float32 else out
         outs = []
         for i in range(0, B, chunk):
             n = min(chunk, B - i)
-            outs.append(self._run_fused_one(audio[i:i + n], plan, i, n))
+            outs.append(cast(self._run_fused_one(audio[i:i + n], plan, i, n)))
         # pull in dispatch order; later chunks keep computing meanwhile
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+        return np.concatenate([np.asarray(o) for o in outs],
+                              axis=0).astype(np.float32)
 
     def _run_fused_one(self, audio, plan, i, n):
         full_spec = _mel_any(audio)

@@ -164,6 +164,15 @@ def test_fused_chunked_matches_unchunked():
     chunked = synth.run_fused(audio, plan, chunk=2)
     np.testing.assert_array_equal(one, chunked)
 
+    # f16 pull: the compact device->host format returns float32 within
+    # half-precision rounding of the full pull (both chunked and not)
+    f16 = synth.run_fused(audio, plan, out_dtype=np.float16)
+    f16c = synth.run_fused(audio, plan, chunk=2, out_dtype=np.float16)
+    assert f16.dtype == np.float32 and f16c.dtype == np.float32
+    scale = np.abs(one).max()
+    np.testing.assert_allclose(f16, one, atol=2e-3 * scale)
+    np.testing.assert_array_equal(f16, f16c)
+
 
 def test_mulaw_audio_input():
     """uint8 mu-law input: codec round trip is transparent enough that the
