@@ -13,9 +13,11 @@ HTTP/JSON API with no extra dependencies (stdlib http.server).
                       "encoding": "pcm_f32" (default) | "pcm_i16"
                                   | "pcm_mulaw"  (G.711, 1 byte/sample),
                       "words": [["hello", 0.1, 0.4], ...],
-                      "vid": 0, "fused": true}
-      -> {"dir_vec": base64 float32, "shape": [T, pose_dim],
-          "fps": 15, "latency_ms": ...}
+                      "vid": 0, "fused": true,
+                      "return_dtype": "f32" (default) | "f16" (half-size
+                                     response body)}
+      -> {"dir_vec": base64 float32|float16, "dtype": "f32"|"f16",
+          "shape": [T, pose_dim], "fps": 15, "latency_ms": ...}
   GET  /healthz      -> {"ok": true, "model": ..., "pose_dim": ...}
   GET  /stats        -> request/batch counters
 
@@ -242,10 +244,18 @@ def make_http_server(service: GestureService, host: str = "127.0.0.1",
                 out = service.synthesize(
                     audio, req.get("words", []), int(req.get("vid", 0)),
                     fused=bool(req.get("fused", True)))
-                out32 = np.ascontiguousarray(out, "<f4")
+                # response payload format: f32 (default) or f16 — halves
+                # the response body; dir-vec components are O(0.1-1) so
+                # half-precision rounding (~5e-4 relative) is negligible
+                rd = req.get("return_dtype", "f32")
+                if rd not in ("f32", "f16"):
+                    raise ValueError(f"return_dtype {rd!r}")
+                out32 = np.ascontiguousarray(
+                    out, "<f2" if rd == "f16" else "<f4")
                 covered = min(sent_s, service.max_clip_seconds)
                 self._json(200, {
                     "dir_vec": base64.b64encode(out32.tobytes()).decode(),
+                    "dtype": rd,
                     "shape": list(out32.shape), "fps": service.fps,
                     # clips beyond max_clip_seconds are covered only up to
                     # the cap — surfaced, never silent

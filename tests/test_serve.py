@@ -147,10 +147,10 @@ def test_http_compact_encodings(service):
         wave = (np.random.default_rng(5).normal(size=SR)
                 .astype("<f4") * 0.1)
 
-        def post(audio_bytes, encoding):
+        def post(audio_bytes, encoding, return_dtype="f32"):
             body = json.dumps({
                 "audio": base64.b64encode(audio_bytes).decode(),
-                "encoding": encoding,
+                "encoding": encoding, "return_dtype": return_dtype,
                 "words": [["w1", 0.1, 0.3]], "vid": 0,
                 "fused": False}).encode()
             req = urllib.request.Request(
@@ -158,14 +158,19 @@ def test_http_compact_encodings(service):
                 headers={"Content-Type": "application/json"})
             with urllib.request.urlopen(req, timeout=600) as r:
                 resp = json.loads(r.read())
+            assert resp["dtype"] == return_dtype
+            wd = "<f2" if return_dtype == "f16" else "<f4"
             return np.frombuffer(base64.b64decode(resp["dir_vec"]),
-                                 "<f4").reshape(resp["shape"])
+                                 wd).reshape(resp["shape"]).astype("<f4")
 
         ref = post(wave.tobytes(), "pcm_f32")
         i16 = post((wave * 32768.0).astype("<i2").tobytes(), "pcm_i16")
         u8 = post(mulaw_encode_np(wave).tobytes(), "pcm_mulaw")
-        assert ref.shape == i16.shape == u8.shape
+        f16 = post(wave.tobytes(), "pcm_f32", return_dtype="f16")
+        assert ref.shape == i16.shape == u8.shape == f16.shape
         np.testing.assert_allclose(i16, ref, atol=2e-3)
         np.testing.assert_allclose(u8, ref, atol=3e-2)
+        np.testing.assert_allclose(f16, ref,
+                                   atol=2e-3 * max(1.0, np.abs(ref).max()))
     finally:
         httpd.shutdown()
