@@ -226,6 +226,9 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
     runs as ONE jitted `lax.scan` on device.  On this TPU every
     device->host pull costs a ~34 ms tunnel round trip, so the host loop
     pays that per window; the fused path pays it once per clip batch.
+    Inside the fused graph only the level cascade (which consumes the
+    pre-seq carry) stays in the sequential scan; the SE-ResNet audio
+    encoder is carry-independent and runs once, batched over all windows.
     """
 
     uses_spec = True
@@ -243,19 +246,24 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                                    static_argnames=("num_sub", "spec_len"))
 
     def window_step(self, state, inputs, rng):
-        cfg = self.cfg
-        B = inputs["text_w"].shape[0]
-        target = jnp.zeros((B, cfg.n_poses, self.spec.pose_dim))
-        target = target.at[:, :cfg.n_pre_poses].set(inputs["carry"])
         audio_vars = {"params": state.params["audio"],
                       "batch_stats": state.batch_stats["audio"]}
         _, _, _, _, blend = self.system.audio.apply(
             audio_vars, inputs["spec_w"], inputs["vids"], train=False)
+        return self._cascade_step(state, inputs["text_w"], blend,
+                                  inputs["carry"], inputs["vids"], rng)
+
+    def _cascade_step(self, state, text_w, blend_w, carry, vids, rng):
+        """Level cascade on precomputed blend features for one window."""
+        cfg = self.cfg
+        B = text_w.shape[0]
+        target = jnp.zeros((B, cfg.n_poses, self.spec.pose_dim))
+        target = target.at[:, :cfg.n_pre_poses].set(carry)
         gen_apply = self.system._gen_apply(state.params["gens"], rng,
                                            train=False)
         outs, _, _, _, _ = run_cascade(gen_apply, self.spec, target,
-                                       inputs["text_w"], blend,
-                                       inputs["vids"], cfg.n_pre_poses)
+                                       text_w, blend_w, vids,
+                                       cfg.n_pre_poses)
         return outs[-1]
 
     # ---- fused on-device loop --------------------------------------------
@@ -268,14 +276,32 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
         n = cfg.n_pre_poses
         T = cfg.n_poses
 
+        # The SE-ResNet audio encoder does not depend on the pre-seq carry,
+        # so it is hoisted OUT of the sequential window scan: every window's
+        # spectrogram is sliced up front, windows fold into the batch axis,
+        # and the encoder runs once at W-fold batch.  This removes the
+        # deepest conv stack from the scan's sequential critical path and
+        # lets the MXU see one large conv batch instead of W small ones.
+        def slice_w(s0):
+            return jax.lax.dynamic_slice(
+                full_spec, (0, 0, s0), (B, full_spec.shape[1], spec_len))
+
+        spec_all = jax.vmap(slice_w)(s0_all)        # (W, B, 128, spec_len)
+        audio_vars = {"params": state.params["audio"],
+                      "batch_stats": state.batch_stats["audio"]}
+        vids_rep = jnp.broadcast_to(vids[None], (num_sub, B)).reshape(-1)
+        _, _, _, _, blend = self.system.audio.apply(
+            audio_vars, spec_all.reshape(num_sub * B, *spec_all.shape[2:]),
+            vids_rep, train=False)                  # (L, W*B, T, 32)
+        L, C = blend.shape[0], blend.shape[-1]
+        blend_all = jnp.moveaxis(
+            blend.reshape(L, num_sub, B, T, C), 0, 1)  # (W, L, B, T, C)
+
         def step(carry, xs):
             tail, w = carry
-            text_w, s0 = xs
-            spec_w = jax.lax.dynamic_slice(
-                full_spec, (0, 0, s0), (B, full_spec.shape[1], spec_len))
-            out = self.window_step(
-                state, {"spec_w": spec_w, "text_w": text_w, "carry": tail,
-                        "vids": vids}, jax.random.fold_in(rng, w))
+            text_w, blend_w = xs
+            out = self._cascade_step(state, text_w, blend_w, tail, vids,
+                                     jax.random.fold_in(rng, w))
             new_tail = out[:, -n:]
             # overlap cross-fade (synthesize_hierarchy.py:153-162); the
             # first window keeps its head (tail starts as zeros but w==0
@@ -290,7 +316,7 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
         init_tail = jnp.zeros((B, n, self.spec.pose_dim),
                               dtype=resolve(None))
         (_, _), ys = jax.lax.scan(step, (init_tail, jnp.int32(0)),
-                                  (text_all, s0_all), length=num_sub)
+                                  (text_all, blend_all), length=num_sub)
         # windows 0..W-2 contribute their first T-n frames; the last all T
         body = ys[:-1, :, :T - n]                       # (W-1, B, T-n, D)
         body = jnp.moveaxis(body, 0, 1).reshape(B, -1, ys.shape[-1])
