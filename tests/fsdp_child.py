@@ -1,0 +1,62 @@
+"""Subprocess body for the hybrid dp x fsdp equivalence test.
+
+Run as `python -m tests.fsdp_child` from the repo root by
+tests/test_parallel.py::test_hierarchy_hybrid_fsdp_step_matches_single.
+Isolated in its own process because XLA:CPU's in-process collective
+rendezvous can SIGABRT the whole process when thread starvation on a
+1-vCPU host desyncs virtual devices across a program's
+collective-permutes — an abort here must fail one test, not kill the
+suite.  Prints FSDP_EQUIV_OK on success.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
+
+def main():
+    from ha2g_tpu.parallel.mesh import (batch_sharding, hybrid_mesh,
+                                        shard_state_fsdp)
+    from tests.test_parallel import (_assert_step_equiv, _hier_system)
+
+    sys_, batch = _hier_system()
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    step = sys_.make_train_step(gan_on=True)
+    rng = jax.random.PRNGKey(3)
+
+    s1, m1 = step(state, batch, rng)
+
+    mesh = hybrid_mesh(4, 2)
+    # tiny test capacity -> low threshold so real sharding happens
+    state_h = shard_state_fsdp(state, mesh, min_size=64)
+    n_sharded = sum(
+        1 for l in jax.tree_util.tree_leaves(state_h.params)
+        if not l.sharding.is_fully_replicated)
+    assert n_sharded >= 10, n_sharded  # FSDP placement actually sharded
+    batch_s = jax.device_put(batch, batch_sharding(mesh))
+    s8, m8 = step(state_h, batch_s, rng)
+
+    # tolerances relaxed vs the pure-DP test (BN atol 5e-5, delta ratio
+    # 0.05): gathering sharded kernels reorders fp32 accumulation inside
+    # convs/matmuls, perturbing batch moments and near-cancelling gradient
+    # leaves at epsilon scale; the cosine >= 0.999 direction check still
+    # holds every leaf to the same bound
+    _assert_step_equiv(state, s1, m1, s8, m8, bn_atol=5e-5, delta_rtol=0.05)
+    print("FSDP_EQUIV_OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,8 @@
 (replicated params, global-batch BN and loss reductions — the sync
 semantics that replace the reference's DataParallel, SURVEY.md 2.9)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -134,6 +136,34 @@ def _tree_allclose(a, b, rtol, atol):
                                    rtol=rtol, atol=atol)
 
 
+def _assert_step_equiv(state, s1, m1, s8, m8, bn_atol=1e-5,
+                       delta_rtol=0.02):
+    """Metrics, BN stats, and (via SGD deltas) every gradient must match
+    between the single-device and sharded executions of one train step."""
+    assert set(m1.keys()) == set(m8.keys())
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=5e-4,
+                                   atol=1e-4, err_msg=k)
+    _tree_allclose(s1.batch_stats, s8.batch_stats, rtol=1e-4, atol=bn_atol)
+    # parameter DELTAS (= -lr * grad under SGD) compared per leaf by norm:
+    # the sharded all-reduce reorders fp32 accumulation, which shows up as
+    # >10% elementwise error on near-cancelling components of small
+    # leaves; a wrong collective/sharding would flip whole-leaf norms and
+    # directions instead
+    old_leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    for a, b, o in zip(jax.tree_util.tree_leaves(s1.params),
+                       jax.tree_util.tree_leaves(s8.params), old_leaves):
+        da = (np.asarray(a, np.float64) - np.asarray(o, np.float64)).ravel()
+        db = (np.asarray(b, np.float64) - np.asarray(o, np.float64)).ravel()
+        diff = np.linalg.norm(da - db)
+        if diff <= 3e-5:
+            continue
+        nb = np.linalg.norm(db)
+        assert diff / nb <= delta_rtol, (diff, nb)
+        cos = float(np.dot(da, db) / (np.linalg.norm(da) * nb + 1e-30))
+        assert cos >= 0.999, cos
+
+
 @pytest.mark.parametrize("gan_on", [True, False])
 def test_hierarchy_sharded_step_matches_single(gan_on):
     """The full flagship GAN train step (D phase, shared-audio vjp, cascade,
@@ -153,28 +183,40 @@ def test_hierarchy_sharded_step_matches_single(gan_on):
     batch_s = jax.device_put(batch, batch_sharding(mesh))
     s8, m8 = step(state_r, batch_s, rng)
 
-    assert set(m1.keys()) == set(m8.keys())
-    for k in m1:
-        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=5e-4,
-                                   atol=1e-4, err_msg=k)
-    _tree_allclose(s1.batch_stats, s8.batch_stats, rtol=1e-4, atol=1e-5)
-    # parameter DELTAS (= -lr * grad under SGD) compared per leaf by norm:
-    # the sharded all-reduce reorders fp32 accumulation, which shows up as
-    # >10% elementwise error on near-cancelling components of small
-    # leaves; a wrong collective/sharding would flip whole-leaf norms and
-    # directions instead
-    old_leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
-    for a, b, o in zip(jax.tree_util.tree_leaves(s1.params),
-                       jax.tree_util.tree_leaves(s8.params), old_leaves):
-        da = (np.asarray(a, np.float64) - np.asarray(o, np.float64)).ravel()
-        db = (np.asarray(b, np.float64) - np.asarray(o, np.float64)).ravel()
-        diff = np.linalg.norm(da - db)
-        if diff <= 3e-5:
-            continue
-        nb = np.linalg.norm(db)
-        assert diff / nb <= 0.02, (diff, nb)
-        cos = float(np.dot(da, db) / (np.linalg.norm(da) * nb + 1e-30))
-        assert cos >= 0.999, cos
+    _assert_step_equiv(state, s1, m1, s8, m8)
+
+
+def test_hierarchy_hybrid_fsdp_step_matches_single():
+    """The same flagship step on a 2-D (4 data x 2 model) mesh with
+    parameters + optimizer state FSDP-sharded over 'model' (gathered on
+    use, reduce-scattered on the gradient by GSPMD) reproduces the
+    single-device numbers.
+
+    Executed in a SUBPROCESS (tests/fsdp_child.py): XLA:CPU's in-process
+    collective rendezvous can SIGABRT the process when thread starvation
+    on this 1-vCPU host desyncs virtual devices across the program's
+    collective-permutes; isolation turns that (transient, scheduling-
+    dependent) abort into a retried/failed test instead of a dead pytest.
+    Real assertion failures in the child are NOT retried."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    last = None
+    for _attempt in range(2):
+        last = subprocess.run(
+            [_sys.executable, "-m", "tests.fsdp_child"],
+            capture_output=True, text=True, timeout=1200, cwd=root, env=env)
+        if "FSDP_EQUIV_OK" in last.stdout:
+            return
+        if last.returncode == 1 and "AssertionError" in last.stderr:
+            raise AssertionError(
+                "hybrid fsdp child failed:\n" + last.stderr[-4000:])
+    raise AssertionError(
+        f"hybrid fsdp child died twice (rc={last.returncode}):\n"
+        + last.stderr[-2000:])
 
 
 def test_hierarchy_sharded_eval_matches_single():
