@@ -103,6 +103,98 @@ def test_expressive_routing_level4_to_5_matches_reference_fill():
     assert fill == want
 
 
+def test_expressive_level_targets_match_reference_slices():
+    """All six expressive level targets vs the literal cat-of-slices at
+    train_hierarchy_expressive.py:140-145."""
+    rng = np.random.default_rng(7)
+    t = rng.normal(size=(2, 34, 126)).astype(np.float32)
+    cat = lambda *parts: np.concatenate(parts, -1)
+    want = [
+        cat(t[..., :3 * 3], t[..., -5 * 3:]),
+        cat(t[..., :4 * 3], t[..., 20 * 3:21 * 3], t[..., -5 * 3:]),
+        cat(t[..., :5 * 3], t[..., 20 * 3:22 * 3], t[..., -5 * 3:]),
+        cat(t[..., :6 * 3], t[..., 8 * 3:9 * 3], t[..., 11 * 3:12 * 3],
+            t[..., 14 * 3:15 * 3], t[..., 17 * 3:18 * 3],
+            t[..., 20 * 3:23 * 3], t[..., 25 * 3:26 * 3],
+            t[..., 28 * 3:29 * 3], t[..., 31 * 3:32 * 3],
+            t[..., 34 * 3:35 * 3], t[..., -5 * 3:]),
+        cat(t[..., :7 * 3], t[..., 8 * 3:10 * 3], t[..., 11 * 3:13 * 3],
+            t[..., 14 * 3:16 * 3], t[..., 17 * 3:19 * 3],
+            t[..., 20 * 3:24 * 3], t[..., 25 * 3:27 * 3],
+            t[..., 28 * 3:30 * 3], t[..., 31 * 3:33 * 3],
+            t[..., 34 * 3:36 * 3], t[..., -5 * 3:]),
+        t,
+    ]
+    for level, w in enumerate(want):
+        got = np.asarray(
+            TED_EXPRESSIVE.extract_level_target(jnp.asarray(t), level))
+        np.testing.assert_array_equal(got, w, err_msg=f"level {level}")
+
+
+def _apply_routing(spec, level, out):
+    """Scatter level `level`'s output into a zeroed level-(level+1) buffer
+    via our generic routing tables."""
+    dst = np.zeros(out.shape[:-1] + (spec.level_dim(level + 1),), out.dtype)
+    src_cols, dst_cols = spec.routing_indices(level)
+    dst[..., dst_cols] = out[..., src_cols]
+    return dst
+
+
+def test_expressive_routing_all_levels_match_reference_fill():
+    """Every pre-seq fill block of the 6-level cascade, applied to real
+    arrays: our generic nested-bone scatter must reproduce the reference's
+    hand-written slice assignments at train_hierarchy_expressive.py:260-309
+    element for element (levels k -> k+1 for k = 1..5, 1-based)."""
+    rng = np.random.default_rng(8)
+    spec = TED_EXPRESSIVE
+    outs = [rng.normal(size=(2, 5, spec.level_dim(k))).astype(np.float32)
+            for k in range(5)]
+
+    def ref_fill(level_dim, blocks, out):
+        buf = np.zeros(out.shape[:-1] + (level_dim,), out.dtype)
+        for dst_sl, src_sl in blocks:
+            buf[..., dst_sl] = out[..., src_sl]
+        return buf
+
+    s = slice
+    ref_blocks = [
+        # g1 out (24) -> pre_seq_2 (27): :260-261
+        [(s(0, 3 * 3), s(0, 3 * 3)), (s(-5 * 3, None), s(-5 * 3, None))],
+        # g2 out (27) -> pre_seq_3 (33): :267-269
+        [(s(0, 4 * 3), s(0, 4 * 3)), (s(5 * 3, 6 * 3), s(4 * 3, 5 * 3)),
+         (s(-5 * 3, None), s(-5 * 3, None))],
+        # g3 out (33) -> pre_seq_4 (66): :275-277
+        [(s(0, 5 * 3), s(0, 5 * 3)), (s(10 * 3, 12 * 3), s(5 * 3, 7 * 3)),
+         (s(-5 * 3, None), s(-5 * 3, None))],
+        # g4 out (66) -> pre_seq_5 (96): :283-293
+        [(s(0, 6 * 3), s(0, 6 * 3)), (s(7 * 3, 8 * 3), s(6 * 3, 7 * 3)),
+         (s(9 * 3, 10 * 3), s(7 * 3, 8 * 3)),
+         (s(11 * 3, 12 * 3), s(8 * 3, 9 * 3)),
+         (s(13 * 3, 14 * 3), s(9 * 3, 10 * 3)),
+         (s(15 * 3, 18 * 3), s(10 * 3, 13 * 3)),
+         (s(19 * 3, 20 * 3), s(13 * 3, 14 * 3)),
+         (s(21 * 3, 22 * 3), s(14 * 3, 15 * 3)),
+         (s(23 * 3, 24 * 3), s(15 * 3, 16 * 3)),
+         (s(25 * 3, 26 * 3), s(16 * 3, 17 * 3)),
+         (s(-5 * 3, None), s(-5 * 3, None))],
+        # g5 out (96) -> pre_seq_6 (126): :299-309
+        [(s(0, 7 * 3), s(0, 7 * 3)), (s(8 * 3, 10 * 3), s(7 * 3, 9 * 3)),
+         (s(11 * 3, 13 * 3), s(9 * 3, 11 * 3)),
+         (s(14 * 3, 16 * 3), s(11 * 3, 13 * 3)),
+         (s(17 * 3, 19 * 3), s(13 * 3, 15 * 3)),
+         (s(20 * 3, 24 * 3), s(15 * 3, 19 * 3)),
+         (s(25 * 3, 27 * 3), s(19 * 3, 21 * 3)),
+         (s(28 * 3, 30 * 3), s(21 * 3, 23 * 3)),
+         (s(31 * 3, 33 * 3), s(23 * 3, 25 * 3)),
+         (s(34 * 3, 36 * 3), s(25 * 3, 27 * 3)),
+         (s(-5 * 3, None), s(-5 * 3, None))],
+    ]
+    for k in range(5):
+        want = ref_fill(spec.level_dim(k + 1), ref_blocks[k], outs[k])
+        got = _apply_routing(spec, k, outs[k])
+        np.testing.assert_array_equal(got, want, err_msg=f"level {k}->{k+1}")
+
+
 def test_skeleton_for_pose_dim():
     assert skeleton_for_pose_dim(27) is TED_GESTURE
     assert skeleton_for_pose_dim(126) is TED_EXPRESSIVE
