@@ -91,12 +91,18 @@ class Config:
     # save optimizer state for mid-training resume (capability superset of the
     # reference, which has no resume path; SURVEY.md section 5.4)
     save_optimizer_state: bool = True
+    # reproduce the reference's off-by-one expressive pre-seq head fill
+    # (skeleton.py::SkeletonSpec.ref_routing_compat) — set automatically when
+    # importing reference-trained expressive hierarchy checkpoints, whose
+    # weights expect that layout; leave False for fresh training
+    ref_routing_compat: bool = False
 
     # -------------------------------------------------------------------
     @property
     def skeleton(self):
-        from ha2g_tpu.skeleton import SKELETONS
-        return SKELETONS[self.dataset]
+        from ha2g_tpu.skeleton import REF_COMPAT_SKELETONS, SKELETONS
+        table = REF_COMPAT_SKELETONS if self.ref_routing_compat else SKELETONS
+        return table[self.dataset]
 
     @property
     def mean_dir_vec_array(self) -> np.ndarray:

@@ -537,6 +537,10 @@ def config_from_reference_args(args_obj) -> "Config":
     for k in ("train_data_path", "val_data_path", "test_data_path"):
         if isinstance(d.get(k), list):
             d[k] = d[k][0] if d[k] else ""
+    # reference-trained expressive hierarchy weights expect the off-by-one
+    # pre-seq head-fill layout (skeleton.py::ref_routing_compat)
+    if d["model"] == "hierarchy" and d["dataset"] == "ted_expressive":
+        d["ref_routing_compat"] = True
     return Config.from_dict(d)
 
 

@@ -65,6 +65,20 @@ class SkeletonSpec:
     # (level k's bones are a subset of level k+1's).
     levels: tuple[tuple[int, ...], ...]
     angle_prior: AnglePrior | None = None
+    # Reference-compat quirk support (see routing_indices): number of
+    # trailing bones the reference's expressive fill blocks write via a
+    # negative slice `pre_seq[..., -K*3:] = out[..., -K*3:]` — on the
+    # (dim+1)-wide pre-seq buffer that slice lands ONE COLUMN LATE,
+    # overwriting the constraint-bit column and leaving the first tail
+    # component zero (train_hierarchy_expressive.py:261,269,277,293,309 and
+    # synthesize_expressive_hierarchy.py:141-187).  0 = no such block.
+    ref_tail_fill_bones: int = 0
+    # When True, routing_indices reproduces that off-by-one layout exactly —
+    # required when running checkpoints trained by the reference code (their
+    # weights expect the shifted encoding).  Default False: clean nested
+    # routing (every bone lands on its own columns, the bit column stays a
+    # pure constraint flag).
+    ref_routing_compat: bool = False
 
     # ---- basic sizes -----------------------------------------------------
     @property
@@ -169,15 +183,23 @@ class SkeletonSpec:
         its position in level `level+1`'s ordering.  Reproduces the
         reference's hand-written fill blocks (train_hierarchy.py:105-116,
         train_hierarchy_expressive.py:155-213) exactly.
+
+        With ref_routing_compat set, the dst columns of the trailing
+        ref_tail_fill_bones bones shift by +1, reproducing the reference's
+        off-by-one negative-slice fill on the (dim+1)-wide pre-seq buffer
+        (see the field docstrings above): the last shifted column is the
+        constraint-bit column, and the first tail column stays zero.
         """
         src_bones = list(self.levels[level])
         dst_bones = list(self.levels[level + 1])
         dst_pos = {b: i for i, b in enumerate(dst_bones)}
+        n_tail = self.ref_tail_fill_bones if self.ref_routing_compat else 0
         src_cols, dst_cols = [], []
         for i, b in enumerate(src_bones):
             j = dst_pos[b]
+            shift = 1 if i >= len(src_bones) - n_tail else 0
             src_cols.extend(range(i * 3, i * 3 + 3))
-            dst_cols.extend(range(j * 3, j * 3 + 3))
+            dst_cols.extend(range(j * 3 + shift, j * 3 + 3 + shift))
         return (np.array(src_cols, dtype=np.int32),
                 np.array(dst_cols, dtype=np.int32))
 
@@ -333,10 +355,22 @@ TED_EXPRESSIVE = SkeletonSpec(
         # (train_hierarchy_expressive.py:430-431)
         cross_products=((11, 17), (28, 34)),
     ),
+    # the reference fills the 5 head bones via `[..., -5*3:]` (see
+    # routing_indices / ref_routing_compat)
+    ref_tail_fill_bones=5,
 )
 
 SKELETONS: dict[str, SkeletonSpec] = {
     s.name: s for s in (TED_GESTURE, TED_EXPRESSIVE)
+}
+
+# Variants that reproduce the reference's off-by-one pre-seq head fill —
+# use for checkpoints trained by the reference code (import_torch sets
+# Config.ref_routing_compat on expressive hierarchy imports).
+REF_COMPAT_SKELETONS: dict[str, SkeletonSpec] = {
+    name: (dataclasses.replace(s, ref_routing_compat=True)
+           if s.ref_tail_fill_bones else s)
+    for name, s in SKELETONS.items()
 }
 
 

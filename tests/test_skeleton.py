@@ -131,6 +131,48 @@ def test_expressive_level_targets_match_reference_slices():
         np.testing.assert_array_equal(got, w, err_msg=f"level {level}")
 
 
+# The reference's literal pre-seq fill blocks (dst_slice, src_slice), one
+# list per level transition g_k out -> pre_seq_{k+1}, transcribed from
+# train_hierarchy_expressive.py:260-309 (identical blocks at :155-213 and
+# :336-393, and in synthesize_expressive_hierarchy.py:140-187).  Note the
+# `-5*3:` head blocks are NEGATIVE slices — on the real (dim+1)-wide
+# pre-seq buffer they land one column late (see SkeletonSpec.
+# ref_routing_compat).  Shared with tests/test_train_parity.py.
+_s = slice
+EXPRESSIVE_REF_FILLS = [
+    # g1 out (24) -> pre_seq_2 (27): :260-261
+    [(_s(0, 3 * 3), _s(0, 3 * 3)), (_s(-5 * 3, None), _s(-5 * 3, None))],
+    # g2 out (27) -> pre_seq_3 (33): :267-269
+    [(_s(0, 4 * 3), _s(0, 4 * 3)), (_s(5 * 3, 6 * 3), _s(4 * 3, 5 * 3)),
+     (_s(-5 * 3, None), _s(-5 * 3, None))],
+    # g3 out (33) -> pre_seq_4 (66): :275-277
+    [(_s(0, 5 * 3), _s(0, 5 * 3)), (_s(10 * 3, 12 * 3), _s(5 * 3, 7 * 3)),
+     (_s(-5 * 3, None), _s(-5 * 3, None))],
+    # g4 out (66) -> pre_seq_5 (96): :283-293
+    [(_s(0, 6 * 3), _s(0, 6 * 3)), (_s(7 * 3, 8 * 3), _s(6 * 3, 7 * 3)),
+     (_s(9 * 3, 10 * 3), _s(7 * 3, 8 * 3)),
+     (_s(11 * 3, 12 * 3), _s(8 * 3, 9 * 3)),
+     (_s(13 * 3, 14 * 3), _s(9 * 3, 10 * 3)),
+     (_s(15 * 3, 18 * 3), _s(10 * 3, 13 * 3)),
+     (_s(19 * 3, 20 * 3), _s(13 * 3, 14 * 3)),
+     (_s(21 * 3, 22 * 3), _s(14 * 3, 15 * 3)),
+     (_s(23 * 3, 24 * 3), _s(15 * 3, 16 * 3)),
+     (_s(25 * 3, 26 * 3), _s(16 * 3, 17 * 3)),
+     (_s(-5 * 3, None), _s(-5 * 3, None))],
+    # g5 out (96) -> pre_seq_6 (126): :299-309
+    [(_s(0, 7 * 3), _s(0, 7 * 3)), (_s(8 * 3, 10 * 3), _s(7 * 3, 9 * 3)),
+     (_s(11 * 3, 13 * 3), _s(9 * 3, 11 * 3)),
+     (_s(14 * 3, 16 * 3), _s(11 * 3, 13 * 3)),
+     (_s(17 * 3, 19 * 3), _s(13 * 3, 15 * 3)),
+     (_s(20 * 3, 24 * 3), _s(15 * 3, 19 * 3)),
+     (_s(25 * 3, 27 * 3), _s(19 * 3, 21 * 3)),
+     (_s(28 * 3, 30 * 3), _s(21 * 3, 23 * 3)),
+     (_s(31 * 3, 33 * 3), _s(23 * 3, 25 * 3)),
+     (_s(34 * 3, 36 * 3), _s(25 * 3, 27 * 3)),
+     (_s(-5 * 3, None), _s(-5 * 3, None))],
+]
+
+
 def _apply_routing(spec, level, out):
     """Scatter level `level`'s output into a zeroed level-(level+1) buffer
     via our generic routing tables."""
@@ -142,57 +184,47 @@ def _apply_routing(spec, level, out):
 
 def test_expressive_routing_all_levels_match_reference_fill():
     """Every pre-seq fill block of the 6-level cascade, applied to real
-    arrays: our generic nested-bone scatter must reproduce the reference's
-    hand-written slice assignments at train_hierarchy_expressive.py:260-309
-    element for element (levels k -> k+1 for k = 1..5, 1-based)."""
+    arrays: the reference's hand-written slice assignments at
+    train_hierarchy_expressive.py:260-309 (levels k -> k+1 for k = 1..5,
+    1-based), on two buffer widths:
+
+    * width D (the slices' evident INTENT — each bone to its own columns):
+      must equal the default clean routing tables;
+    * width D+1 (the ACTUAL pre-seq buffer, whose extra constraint-bit
+      column makes the `-5*3:` head blocks land one column late): must
+      equal the ref_routing_compat variant's tables.
+    """
+    from ha2g_tpu.skeleton import REF_COMPAT_SKELETONS
+
     rng = np.random.default_rng(8)
     spec = TED_EXPRESSIVE
+    compat = REF_COMPAT_SKELETONS["ted_expressive"]
+    assert compat.ref_routing_compat and compat.ref_tail_fill_bones == 5
     outs = [rng.normal(size=(2, 5, spec.level_dim(k))).astype(np.float32)
             for k in range(5)]
 
-    def ref_fill(level_dim, blocks, out):
-        buf = np.zeros(out.shape[:-1] + (level_dim,), out.dtype)
+    def ref_fill(width, blocks, out):
+        buf = np.zeros(out.shape[:-1] + (width,), out.dtype)
         for dst_sl, src_sl in blocks:
             buf[..., dst_sl] = out[..., src_sl]
         return buf
 
-    s = slice
-    ref_blocks = [
-        # g1 out (24) -> pre_seq_2 (27): :260-261
-        [(s(0, 3 * 3), s(0, 3 * 3)), (s(-5 * 3, None), s(-5 * 3, None))],
-        # g2 out (27) -> pre_seq_3 (33): :267-269
-        [(s(0, 4 * 3), s(0, 4 * 3)), (s(5 * 3, 6 * 3), s(4 * 3, 5 * 3)),
-         (s(-5 * 3, None), s(-5 * 3, None))],
-        # g3 out (33) -> pre_seq_4 (66): :275-277
-        [(s(0, 5 * 3), s(0, 5 * 3)), (s(10 * 3, 12 * 3), s(5 * 3, 7 * 3)),
-         (s(-5 * 3, None), s(-5 * 3, None))],
-        # g4 out (66) -> pre_seq_5 (96): :283-293
-        [(s(0, 6 * 3), s(0, 6 * 3)), (s(7 * 3, 8 * 3), s(6 * 3, 7 * 3)),
-         (s(9 * 3, 10 * 3), s(7 * 3, 8 * 3)),
-         (s(11 * 3, 12 * 3), s(8 * 3, 9 * 3)),
-         (s(13 * 3, 14 * 3), s(9 * 3, 10 * 3)),
-         (s(15 * 3, 18 * 3), s(10 * 3, 13 * 3)),
-         (s(19 * 3, 20 * 3), s(13 * 3, 14 * 3)),
-         (s(21 * 3, 22 * 3), s(14 * 3, 15 * 3)),
-         (s(23 * 3, 24 * 3), s(15 * 3, 16 * 3)),
-         (s(25 * 3, 26 * 3), s(16 * 3, 17 * 3)),
-         (s(-5 * 3, None), s(-5 * 3, None))],
-        # g5 out (96) -> pre_seq_6 (126): :299-309
-        [(s(0, 7 * 3), s(0, 7 * 3)), (s(8 * 3, 10 * 3), s(7 * 3, 9 * 3)),
-         (s(11 * 3, 13 * 3), s(9 * 3, 11 * 3)),
-         (s(14 * 3, 16 * 3), s(11 * 3, 13 * 3)),
-         (s(17 * 3, 19 * 3), s(13 * 3, 15 * 3)),
-         (s(20 * 3, 24 * 3), s(15 * 3, 19 * 3)),
-         (s(25 * 3, 27 * 3), s(19 * 3, 21 * 3)),
-         (s(28 * 3, 30 * 3), s(21 * 3, 23 * 3)),
-         (s(31 * 3, 33 * 3), s(23 * 3, 25 * 3)),
-         (s(34 * 3, 36 * 3), s(25 * 3, 27 * 3)),
-         (s(-5 * 3, None), s(-5 * 3, None))],
-    ]
+    ref_blocks = EXPRESSIVE_REF_FILLS
     for k in range(5):
-        want = ref_fill(spec.level_dim(k + 1), ref_blocks[k], outs[k])
+        D = spec.level_dim(k + 1)
+        # intent (width D) == clean routing
+        want = ref_fill(D, ref_blocks[k], outs[k])
         got = _apply_routing(spec, k, outs[k])
         np.testing.assert_array_equal(got, want, err_msg=f"level {k}->{k+1}")
+        # actual reference layout (width D+1) == compat routing
+        want = ref_fill(D + 1, ref_blocks[k], outs[k])
+        buf = np.zeros(outs[k].shape[:-1] + (D + 1,), outs[k].dtype)
+        src_cols, dst_cols = compat.routing_indices(k)
+        buf[..., dst_cols] = outs[k][..., src_cols]
+        np.testing.assert_array_equal(
+            buf, want, err_msg=f"compat level {k}->{k+1}")
+        # the quirk is real: head components shifted, bit column clobbered
+        assert want[..., D].any() and not want[..., D - 15].any()
 
 
 def test_skeleton_for_pose_dim():

@@ -100,10 +100,15 @@ def sh(a, b, beta):
 
 
 def torch_train_iter_hierarchy(cfg, gan_on, batch, gens, dis, audio, text,
-                               opts, rand_vids, pairs, avg, var):
+                               opts, rand_vids, pairs, avg, var,
+                               cascade_fn=None, physical_fn=None):
     """Reference train_iter_hierarchy semantics
-    (train_hierarchy.py:71-293), with the rand-speaker permutation injected
-    for cross-framework determinism."""
+    (train_hierarchy.py:71-293 for 3 levels; train_hierarchy_expressive.py:
+    124-482 for 6 via cascade_fn/physical_fn), with the rand-speaker
+    permutation injected for cross-framework determinism."""
+    cascade_fn = cascade_fn or torch_cascade
+    physical_fn = physical_fn or torch_physical
+    g_keys = [f"g{i + 1}" for i in range(len(gens))] + ["audio", "text"]
     toks, spec, tgt, vids = (batch["text"], batch["spec"], batch["target"],
                              batch["vids"])
     _, lo, _, hi, blends = audio(spec, vids)
@@ -113,10 +118,10 @@ def torch_train_iter_hierarchy(cfg, gan_on, batch, gens, dis, audio, text,
     # ---- D phase ----
     if gan_on and cfg["loss_gan_weight"] > 0.0:
         opts["dis"].zero_grad()
-        (o1, o2, o3), _, _, _, _ = torch_cascade(
+        outs_d, _, _, _, _ = cascade_fn(
             gens, tgt, toks, [b.detach() for b in blends], vids)
         d_real = dis(tgt)
-        d_fake = dis(o3.detach())
+        d_fake = dis(outs_d[-1].detach())
         dis_error = torch.sum(-torch.mean(
             torch.log(d_real + 1e-8) + torch.log(1 - d_fake + 1e-8)))
         dis_error.backward()
@@ -124,7 +129,7 @@ def torch_train_iter_hierarchy(cfg, gan_on, batch, gens, dis, audio, text,
         ret["dis"] = dis_error.item()
 
     # ---- G phase (vs updated D) ----
-    for k in ("g1", "g2", "g3", "audio", "text"):
+    for k in g_keys:
         opts[k].zero_grad()
     opts["dis"].zero_grad()   # D grads from the G loss are discarded
 
@@ -133,15 +138,14 @@ def torch_train_iter_hierarchy(cfg, gan_on, batch, gens, dis, audio, text,
     c_neg = -torch_contrastive(text_feat.reshape(-1, text_feat.shape[2]),
                                lo.reshape(-1, lo.shape[2]))
 
-    (o1, o2, o3), (t1, t2, t3), z, mu, logvar = torch_cascade(
-        gens, tgt, toks, blends, vids)
-    huber = sh(o1, t1, 0.1) + sh(o2, t2, 0.1) + sh(o3, t3, 0.1)
-    d_out = dis(o3)
+    outs, targets, z, mu, logvar = cascade_fn(gens, tgt, toks, blends, vids)
+    huber = sum(sh(o, t, 0.1) for o, t in zip(outs, targets))
+    o_last = outs[-1]
+    d_out = dis(o_last)
     gen_error = -torch.mean(torch.log(d_out + 1e-8))
 
-    (r1, r2, r3), _, z_rand, _, _ = torch_cascade(
-        gens, tgt, toks, blends, rand_vids)
-    pose_l1 = (F.smooth_l1_loss(o3 / 0.05, r3.detach() / 0.05,
+    outs_r, _, z_rand, _, _ = cascade_fn(gens, tgt, toks, blends, rand_vids)
+    pose_l1 = (F.smooth_l1_loss(o_last / 0.05, outs_r[-1].detach() / 0.05,
                                 reduction="none") * 0.05)
     pose_l1 = pose_l1.sum(dim=1).sum(dim=1).view(pose_l1.shape[0], -1).mean(1)
     z_l1 = F.l1_loss(z.detach(), z_rand.detach(), reduction="none")
@@ -156,11 +160,11 @@ def torch_train_iter_hierarchy(cfg, gan_on, batch, gens, dis, audio, text,
         loss = loss + cfg["loss_gan_weight"] * gen_error
     loss = loss + cfg["loss_contrastive_pos_weight"] * c_pos
     loss = loss + cfg["loss_contrastive_neg_weight"] * c_neg
-    phy = torch_physical(o3, cfg["mean_dir_vec"], pairs, avg, var)
+    phy = physical_fn(o_last, cfg["mean_dir_vec"], pairs, avg, var)
     loss = loss + cfg["loss_physical_weight"] * phy
 
     loss.backward()
-    for k in ("g1", "g2", "g3", "audio", "text"):
+    for k in g_keys:
         opts[k].step()
 
     ret.update({
@@ -344,6 +348,177 @@ def test_hierarchy_one_step_parity(gan_on):
 
     # post-SGD parameter deltas match => every gradient matches
     want_params = _convert_hier_params(t_gens, t_audio, t_dis, t_text)
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            want_params)
+
+
+# ---------------------------------------------------------------------------
+# expressive (6-level) hierarchy: torch-side reference math
+# ---------------------------------------------------------------------------
+
+E_POSE_DIM = 126
+E_DIMS = (24, 30, 36, 66, 96, 126)
+
+
+def torch_cascade_expressive(gens, tgt, toks, blends, vids, n_pre=4):
+    """Literal 6-level reference semantics: targets
+    (train_hierarchy_expressive.py:140-145) and pre-seq fills (:252-310) —
+    the fills applied to the real (dim+1)-wide buffers, which reproduces
+    the reference's off-by-one head-block layout (the `-5*3:` slices land
+    one column late; see SkeletonSpec.ref_routing_compat)."""
+    from tests.test_skeleton import EXPRESSIVE_REF_FILLS
+    cat = lambda *p: torch.cat(p, dim=2)
+    t = tgt
+    targets = [
+        cat(t[:, :, :9], t[:, :, -15:]),
+        cat(t[:, :, :12], t[:, :, 60:63], t[:, :, -15:]),
+        cat(t[:, :, :15], t[:, :, 60:66], t[:, :, -15:]),
+        cat(t[:, :, :18], t[:, :, 24:27], t[:, :, 33:36], t[:, :, 42:45],
+            t[:, :, 51:54], t[:, :, 60:69], t[:, :, 75:78], t[:, :, 84:87],
+            t[:, :, 93:96], t[:, :, 102:105], t[:, :, -15:]),
+        cat(t[:, :, :21], t[:, :, 24:30], t[:, :, 33:39], t[:, :, 42:48],
+            t[:, :, 51:57], t[:, :, 60:72], t[:, :, 75:81], t[:, :, 84:90],
+            t[:, :, 93:99], t[:, :, 102:108], t[:, :, -15:]),
+        t,
+    ]
+    outs, prev = [], None
+    z = mu = logvar = None
+    for k in range(6):
+        ps = torch_pre_seq(targets[k], n_pre)
+        if k > 0:
+            for dst_sl, src_sl in EXPRESSIVE_REF_FILLS[k - 1]:
+                ps[:, n_pre:, dst_sl] = prev[:, n_pre:, src_sl]
+        out, z, mu, logvar = gens[k](ps, toks, blends[k], vids)
+        outs.append(out)
+        prev = out
+    return outs, targets, z, mu, logvar
+
+
+def torch_physical_expressive(out, mean_dir_vec, pairs, avg, var):
+    """Angle prior with the palm cross-product extension
+    (train_hierarchy_expressive.py:426-447): left palm = raw bones 11 x 17,
+    right palm = 28 x 34, appended BEFORE the joint normalize."""
+    raw = out + torch.as_tensor(mean_dir_vec, dtype=out.dtype)
+    left = torch.cross(raw[:, :, 33:36], raw[:, :, 51:54], dim=2)
+    right = torch.cross(raw[:, :, 84:87], raw[:, :, 102:105], dim=2)
+    raw = torch.cat((raw, left, right), dim=2)
+    raw = F.normalize(raw.reshape(raw.shape[0], raw.shape[1], -1, 3), dim=-1)
+    flat = raw.reshape(-1, raw.shape[2], 3)
+    loss = 0.0
+    for k, (i, j) in enumerate(pairs):
+        inner = torch.einsum("nd,nd->n", flat[:, i], flat[:, j])
+        inner = torch.clamp(inner, -1 + 1e-7, 1 - 1e-7)
+        angle = torch.acos(inner) / np.pi
+        loss = loss + torch.mean((angle - avg[k]) ** 2 / (2 * var[k]))
+    return loss
+
+
+def _hier_setup_expressive(seed=13, B=3):
+    torch.manual_seed(seed)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.models.hierarchy import ConvDiscriminator
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+
+    rng = np.random.default_rng(seed)
+    mean_vec = (rng.normal(size=E_POSE_DIM) * 0.05).astype(np.float32)
+    cfg = Config(model="hierarchy", dataset="ted_expressive",
+                 pose_dim=E_POSE_DIM, n_poses=T, hidden_size=HID,
+                 n_layers=NL, z_type="speaker", dropout_prob=0.0,
+                 learning_rate=LR, ref_routing_compat=True,
+                 mean_dir_vec=list(map(float, mean_vec)),
+                 loss_regression_weight=300.0, loss_kld_weight=0.6,
+                 loss_reg_weight=0.05, loss_gan_weight=5.0,
+                 loss_contrastive_pos_weight=0.2,
+                 loss_contrastive_neg_weight=0.005,
+                 loss_physical_weight=0.01)
+    assert cfg.skeleton.ref_routing_compat  # compat variant engaged
+
+    t_gens = []
+    for d in E_DIMS:
+        g = tm.TorchHierGenerator(d, N_WORDS, N_SPK, HID, NL).train()
+        _freeze_z(g)
+        t_gens.append(g)
+    t_audio = tm.TorchResNetSE(N_SPK, pose_level=6).train()
+    t_dis = _no_dropout(tm.TorchConvDiscriminator(E_POSE_DIM)).train()
+    t_text = tm.TorchTextEncoderTCN(N_WORDS, 300, HID, NL).train()
+
+    system = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    system.dis = ConvDiscriminator(slope=0.01, dropout=0.0)
+    system.text = system.text.clone(emb_dropout=0.0)
+    system.gens = tuple(g.clone(emb_dropout=0.0) for g in system.gens)
+    system.g_tx = optax.sgd(LR)
+    system.d_tx = optax.sgd(LR * cfg.discriminator_lr_weight)
+
+    batch = {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (B, T))),
+        "spec": jnp.asarray(rng.normal(size=(B, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.normal(size=(B, T, E_POSE_DIM)).astype(np.float32) * 0.2),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (B,))),
+    }
+    state = system.init(jax.random.PRNGKey(0), batch)
+    ckpt = {f"gen_dict_{l + 1}": t_gens[l].state_dict() for l in range(6)}
+    ckpt.update({"audio_dict": t_audio.state_dict(),
+                 "dis_dict": t_dis.state_dict(),
+                 "text_dict": t_text.state_dict()})
+    state = it.import_hierarchy_checkpoint(ckpt, state, n_layers=NL)
+    return cfg, system, state, batch, (t_gens, t_audio, t_dis, t_text), \
+        mean_vec
+
+
+def test_hierarchy_expressive_one_step_parity():
+    """One full train_iter_hierarchy_expressive iteration
+    (train_hierarchy_expressive.py:124-482): all 6 huber levels, the
+    off-by-one compat routing, the palm-cross-product physical prior, and
+    every gradient — vs the torch mirror with imported identical weights."""
+    cfg, system, state, batch, torch_mods, mean_vec = _hier_setup_expressive()
+    t_gens, t_audio, t_dis, t_text = torch_mods
+
+    step = system.make_train_step(gan_on=True)
+    rng = jax.random.PRNGKey(42)
+    new_state, metrics = step(state, batch, rng)
+
+    k_perm = jax.random.split(rng, 5)[3]
+    rand_vids = np.asarray(jax.random.permutation(k_perm, batch["vids"]))
+
+    opts = {f"g{l + 1}": torch.optim.SGD(t_gens[l].parameters(), lr=LR)
+            for l in range(6)}
+    opts["audio"] = torch.optim.SGD(t_audio.parameters(), lr=LR)
+    opts["text"] = torch.optim.SGD(t_text.parameters(), lr=LR)
+    opts["dis"] = torch.optim.SGD(
+        t_dis.parameters(), lr=LR * cfg.discriminator_lr_weight)
+    tb = {k: torch.from_numpy(np.asarray(v)) for k, v in batch.items()}
+    spec = system.spec
+    ret = torch_train_iter_hierarchy(
+        {"loss_regression_weight": cfg.loss_regression_weight,
+         "loss_kld_weight": cfg.loss_kld_weight,
+         "loss_reg_weight": cfg.loss_reg_weight,
+         "loss_gan_weight": cfg.loss_gan_weight,
+         "loss_contrastive_pos_weight": cfg.loss_contrastive_pos_weight,
+         "loss_contrastive_neg_weight": cfg.loss_contrastive_neg_weight,
+         "loss_physical_weight": cfg.loss_physical_weight,
+         "mean_dir_vec": mean_vec},
+        True, tb, t_gens, t_dis, t_audio, t_text, opts,
+        torch.from_numpy(rand_vids),
+        spec.angle_prior.pairs, spec.angle_prior.avg, spec.angle_prior.var,
+        cascade_fn=torch_cascade_expressive,
+        physical_fn=torch_physical_expressive)
+
+    assert set(ret.keys()) == set(metrics.keys()), \
+        (sorted(ret.keys()), sorted(metrics.keys()))
+    # the 6-level cascade is twice as deep as the gesture one, so the fp32
+    # drift budget doubles relative to the 2e-3 floor established there
+    for k, want in ret.items():
+        np.testing.assert_allclose(float(metrics[k]), want, rtol=4e-3,
+                                   atol=2e-4, err_msg=k)
+
+    want_params = {
+        "gens": tuple(it.convert_generator(g.state_dict(), NL)
+                      for g in t_gens),
+        "audio": it.convert_audio_encoder(t_audio.state_dict())[0],
+        "dis": it.convert_discriminator(t_dis.state_dict())[0],
+        "text": it.convert_text_encoder(t_text.state_dict(), NL),
+    }
     _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
                             want_params)
 
