@@ -353,6 +353,125 @@ def test_hierarchy_one_step_parity(gan_on):
 
 
 # ---------------------------------------------------------------------------
+# sliding-window synthesis parity (generate_gestures_hierarchy)
+# ---------------------------------------------------------------------------
+
+def torch_generate_hierarchy(gens, audio_mod, full_spec, words, lang, vid,
+                             clip_seconds, n_pre=4):
+    """Reference generate_gestures_hierarchy window loop
+    (synthesize_hierarchy.py:36-166): window layout (:53-58), frame-aligned
+    word indices (:100-113), carry of the last n_pre predicted frames into
+    every level's target (:117-122), the train-identical cascade fills
+    (:129-146), and the linear overlap cross-fade (:151-159).
+
+    Two reference input-slicing details are intentionally NOT reproduced
+    (they are input-preparation bugs, not learned model layout — see the
+    repo synthesizer, synthesis.py:156-165):
+    * :84 computes the window's spectrogram start from
+      `spectrogram.shape[0]` — the mel-bin count (always 128), not the
+      frame count; this mirror uses the true frame count like our engine;
+    * :86 leaves the final window's spectrogram slice SHORT instead of
+      padding; this mirror edge-pads like our engine.
+    """
+    import math as _math
+    from ha2g_tpu.data.dataset import spectrogram_length_for
+
+    T_ = 34
+    unit_time = T_ / 15
+    stride_time = (T_ - n_pre) / 15
+    if clip_seconds < unit_time:
+        num = 1
+    else:
+        num = _math.ceil((clip_seconds - unit_time) / stride_time) + 1
+    spec_len = spectrogram_length_for(T_, 15)
+    S_total = full_spec.shape[1]
+
+    out_list = []
+    prev_out = None
+    vid_t = torch.LongTensor([vid])
+    for i in range(num):
+        start_time = i * stride_time
+        end_time = start_time + unit_time
+
+        s0 = _math.floor(start_time / clip_seconds * S_total)
+        s1 = s0 + spec_len
+        spec = full_spec
+        if s1 > S_total:
+            spec = np.pad(full_spec, ((0, 0), (0, s1 - S_total)),
+                          mode="edge")
+        in_spec = torch.from_numpy(spec[:, s0:s1]).float().unsqueeze(0)
+
+        # frame-aligned word indices (:102-113)
+        ext = np.zeros(T_)
+        frame_duration = (end_time - start_time) / T_
+        for w in words:
+            if w[1] < start_time or w[1] > end_time:
+                continue
+            idx = max(0, int(np.floor((w[1] - start_time) / frame_duration)))
+            if idx < T_:
+                ext[idx] = lang.get_word_index(w[0])
+        toks = torch.LongTensor(ext).unsqueeze(0)
+
+        # carry into every level's target (:117-122 == level slices of the
+        # full-resolution carry)
+        tgt = torch.zeros((1, T_, 27))
+        if prev_out is not None:
+            tgt[:, :n_pre] = prev_out[:, -n_pre:]
+
+        _, _, _, _, blends = audio_mod(in_spec, vid_t)
+        (o1, o2, o3), _, _, _, _ = torch_cascade(gens, tgt, toks, blends,
+                                                 vid_t, n_pre)
+        prev_out = o3.detach()
+        out_seq = o3[0].detach().numpy().copy()
+
+        if out_list:    # linear cross-fade (:151-159)
+            last = out_list[-1][-n_pre:]
+            out_list[-1] = out_list[-1][:-n_pre]
+            for j in range(n_pre):
+                out_seq[j] = (last[j] * (n_pre - j) / (n_pre + 1)
+                              + out_seq[j] * (j + 1) / (n_pre + 1))
+        out_list.append(out_seq)
+    return np.vstack(out_list)
+
+
+def test_hierarchy_synthesis_window_loop_parity():
+    """Multi-window synthesis through HierarchySynthesizer.generate matches
+    the reference window-loop math run on the torch mirrors with imported
+    identical weights: 3 windows, pre-seq carry across windows, per-window
+    cascade, overlap cross-fade."""
+    from ha2g_tpu.data.vocab import Vocab
+    from ha2g_tpu.ops.mel import batched_log_mel
+    from ha2g_tpu.synthesis import HierarchySynthesizer
+
+    cfg, system, state, _batch_unused, torch_mods, _ = _hier_setup()
+    t_gens, t_audio, t_dis, t_text = torch_mods
+    for mod in (*t_gens, t_audio):
+        mod.eval()
+
+    lang = Vocab("words")
+    while lang.n_words < N_WORDS:
+        lang.index_word(f"w{lang.n_words}")
+
+    rng = np.random.default_rng(5)
+    seconds = 4.8
+    audio = rng.normal(size=(1, int(seconds * 16000))).astype(np.float32) * .1
+    words = [(f"w{rng.integers(4, N_WORDS)}", float(t), float(t + 0.2))
+             for t in np.arange(0.25, seconds - 0.3, 0.5)]
+    vid = 2
+
+    synth = HierarchySynthesizer(system, state)
+    ours = synth.generate(audio, [words], lang, np.array([vid], np.int32),
+                          rng=jax.random.PRNGKey(0))
+
+    full_spec = np.asarray(batched_log_mel(jnp.asarray(audio)))[0]
+    want = torch_generate_hierarchy(t_gens, t_audio, full_spec, words, lang,
+                                    vid, seconds)
+
+    assert ours.shape == (1, want.shape[0], 27)
+    np.testing.assert_allclose(ours[0], want, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
 # expressive (6-level) hierarchy: torch-side reference math
 # ---------------------------------------------------------------------------
 
