@@ -642,6 +642,106 @@ def test_hierarchy_expressive_one_step_parity():
                             want_params)
 
 
+def torch_generate_hierarchy_expressive(gens, audio_mod, full_spec, words,
+                                        lang, vid, clip_seconds, n_pre=4):
+    """Reference synthesize_expressive_hierarchy.py window loop (:36-260):
+    same layout/word-index/cross-fade math as the gesture variant
+    (torch_generate_hierarchy above, incl. the two documented input-slicing
+    corrections), with the 6-level cascade applied through the literal fill
+    blocks (:132-187) — i.e. INCLUDING the off-by-one head fill on the
+    (dim+1)-wide buffers.  Carry seeding (:120-124) uses positive slices of
+    the 126-wide output, so the carry itself is quirk-free."""
+    import math as _math
+    from ha2g_tpu.data.dataset import spectrogram_length_for
+
+    T_ = 34
+    unit_time = T_ / 15
+    stride_time = (T_ - n_pre) / 15
+    num = 1 if clip_seconds < unit_time else \
+        _math.ceil((clip_seconds - unit_time) / stride_time) + 1
+    spec_len = spectrogram_length_for(T_, 15)
+    S_total = full_spec.shape[1]
+
+    out_list = []
+    prev_out = None
+    vid_t = torch.LongTensor([vid])
+    for i in range(num):
+        start_time = i * stride_time
+        end_time = start_time + unit_time
+        s0 = _math.floor(start_time / clip_seconds * S_total)
+        s1 = s0 + spec_len
+        spec = full_spec if s1 <= S_total else np.pad(
+            full_spec, ((0, 0), (0, s1 - S_total)), mode="edge")
+        in_spec = torch.from_numpy(spec[:, s0:s1]).float().unsqueeze(0)
+
+        ext = np.zeros(T_)
+        frame_duration = (end_time - start_time) / T_
+        for w in words:
+            if w[1] < start_time or w[1] > end_time:
+                continue
+            idx = max(0, int(np.floor((w[1] - start_time) / frame_duration)))
+            if idx < T_:
+                ext[idx] = lang.get_word_index(w[0])
+        toks = torch.LongTensor(ext).unsqueeze(0)
+
+        tgt = torch.zeros((1, T_, E_POSE_DIM))
+        if prev_out is not None:
+            tgt[:, :n_pre] = prev_out[:, -n_pre:]
+
+        _, _, _, _, blends = audio_mod(in_spec, vid_t)
+        outs, _, _, _, _ = torch_cascade_expressive(gens, tgt, toks, blends,
+                                                    vid_t, n_pre)
+        prev_out = outs[-1].detach()
+        out_seq = outs[-1][0].detach().numpy().copy()
+
+        if out_list:
+            last = out_list[-1][-n_pre:]
+            out_list[-1] = out_list[-1][:-n_pre]
+            for j in range(n_pre):
+                out_seq[j] = (last[j] * (n_pre - j) / (n_pre + 1)
+                              + out_seq[j] * (j + 1) / (n_pre + 1))
+        out_list.append(out_seq)
+    return np.vstack(out_list)
+
+
+def test_hierarchy_expressive_synthesis_parity_compat():
+    """An imported reference-layout expressive model synthesizes identically
+    through our engine: HierarchySynthesizer.generate on the
+    ref_routing_compat spec vs the literal 6-level reference window loop
+    (off-by-one head fills and all), 3 windows with carry + cross-fade."""
+    from ha2g_tpu.data.vocab import Vocab
+    from ha2g_tpu.ops.mel import batched_log_mel
+    from ha2g_tpu.synthesis import HierarchySynthesizer
+
+    cfg, system, state, _b, torch_mods, _ = _hier_setup_expressive(B=1)
+    t_gens, t_audio, _t_dis, _t_text = torch_mods
+    for mod in (*t_gens, t_audio):
+        mod.eval()
+
+    lang = Vocab("words")
+    while lang.n_words < N_WORDS:
+        lang.index_word(f"w{lang.n_words}")
+
+    rng = np.random.default_rng(6)
+    seconds = 4.8
+    audio = rng.normal(size=(1, int(seconds * 16000))).astype(np.float32) * .1
+    words = [(f"w{rng.integers(4, N_WORDS)}", float(t), float(t + 0.2))
+             for t in np.arange(0.25, seconds - 0.3, 0.5)]
+    vid = 1
+
+    synth = HierarchySynthesizer(system, state)
+    assert synth.spec.ref_routing_compat
+    ours = synth.generate(audio, [words], lang, np.array([vid], np.int32),
+                          rng=jax.random.PRNGKey(0))
+
+    full_spec = np.asarray(batched_log_mel(jnp.asarray(audio)))[0]
+    want = torch_generate_hierarchy_expressive(
+        t_gens, t_audio, full_spec, words, lang, vid, seconds)
+
+    assert ours.shape == (1, want.shape[0], E_POSE_DIM)
+    np.testing.assert_allclose(ours[0], want, rtol=2e-3, atol=2e-4)
+
+
 def test_adam_partition_identity():
     """One optax.adam over the combined G-side tree takes the same step as
     independent per-module adams with identical lr/betas (the reference's
