@@ -78,12 +78,19 @@ def test_from_text_end_to_end(trained_checkpoint, tmp_path):
     assert float(np.abs(dir_vec).max()) > 0
 
 
-def test_synthesize_and_eval_cli(trained_checkpoint, tmp_path):
+def test_synthesize_and_eval_cli(trained_checkpoint, tmp_path, capsys):
     out = tmp_path / "synth.npz"
     rc = cli.cmd_synthesize([str(trained_checkpoint), "--n", "2",
                              "--out", str(out)])
     assert rc == 0
     assert np.isfinite(np.load(out)["dir_vec"]).all()
+
+    # eval mode (reference synthesize.py:263-271): testset metrics from the
+    # restored checkpoint
+    rc = cli.cmd_eval([str(trained_checkpoint)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "loss" in printed and "joint_mae" in printed
 
 
 def _parse_yaml_block(text: str) -> dict:
