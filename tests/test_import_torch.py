@@ -373,3 +373,86 @@ def test_joint_embed_import_parity():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_out), want_out.numpy(),
                                atol=1e-3)
+
+
+def test_cli_import_checkpoint_expressive_end_to_end(tmp_path):
+    """Fabricate a reference-format expressive hierarchy .bin — embedded
+    argparse Namespace, lang/speaker pickled as `model.vocab.Vocab`
+    instances (the class the reference pickles into checkpoints,
+    train.py:232-243), six gen_dicts — and drive
+    `cli import-checkpoint` -> `cli synthesize`.  Verifies the pickled-class
+    shim, config_from_reference_args (incl. the automatic
+    ref_routing_compat for expressive), vocab reconstruction, the 6-level
+    import, checkpoint save, and synthesis from the imported model."""
+    import argparse
+    import sys
+    import types
+
+    from ha2g_tpu import cli
+
+    # classes pickled under the reference's module path
+    mod = types.ModuleType("model")
+    vocab_mod = types.ModuleType("model.vocab")
+
+    class _RefVocab:
+        pass
+    _RefVocab.__module__ = "model.vocab"
+    _RefVocab.__qualname__ = "Vocab"
+    _RefVocab.__name__ = "Vocab"
+    vocab_mod.Vocab = _RefVocab
+    sys.modules["model"] = mod
+    sys.modules["model.vocab"] = vocab_mod
+
+    def ref_vocab(names):
+        v = _RefVocab()
+        v.name = "words"
+        v.word2index = {}
+        v.index2word = {0: "<PAD>", 1: "<SOS>", 2: "<EOS>", 3: "<UNK>"}
+        v.word2count = {}
+        for w in names:
+            idx = len(v.index2word)
+            v.word2index[w] = idx
+            v.index2word[idx] = w
+        v.n_words = len(v.index2word)
+        v.word_embedding_weights = None
+        return v
+
+    lang = ref_vocab([f"w{i}" for i in range(N_WORDS - 4)])
+    speaker = ref_vocab([f"vid{i}" for i in range(N_SPK - 4)])
+
+    torch.manual_seed(9)
+    dims = (24, 30, 36, 66, 96, 126)
+    t_gens = [tm.TorchHierGenerator(d, N_WORDS, N_SPK, HID, NL).eval()
+              for d in dims]
+    t_audio = tm.TorchResNetSE(N_SPK, pose_level=6).eval()
+    t_dis = tm.TorchConvDiscriminator(126).eval()
+    t_text = tm.TorchTextEncoderTCN(N_WORDS, 300, HID, NL).eval()
+
+    args = argparse.Namespace(
+        model="hierarchy", pose_dim=126, n_poses=T, n_pre_poses=4,
+        hidden_size=HID, n_layers=NL, z_type="speaker", dropout_prob=0.0,
+        motion_resampling_framerate=15, wordembed_dim=300,
+        mean_dir_vec=np.zeros(126, np.float32))
+    ckpt = {"args": args, "epoch": 3, "pose_dim": 126,
+            "lang_model": lang, "speaker_model": speaker,
+            "audio_dict": t_audio.state_dict(),
+            "dis_dict": t_dis.state_dict(),
+            "text_dict": t_text.state_dict()}
+    for l, g in enumerate(t_gens):
+        ckpt[f"gen_dict_{l + 1}"] = g.state_dict()
+    bin_path = tmp_path / "ref_expressive.bin"
+    torch.save(ckpt, bin_path)
+
+    out_dir = tmp_path / "imported"
+    assert cli.cmd_import_checkpoint([str(bin_path), str(out_dir)]) == 0
+
+    # the imported config must carry the compat-routing flag
+    from ha2g_tpu.checkpoint import load_config
+    cfg2, _extra = load_config(str(out_dir))
+    assert cfg2.ref_routing_compat and cfg2.dataset == "ted_expressive"
+
+    synth_out = tmp_path / "synth.npz"
+    assert cli.cmd_synthesize([str(out_dir), "--n", "1",
+                               "--out", str(synth_out)]) == 0
+    arr = np.load(synth_out)["dir_vec"]
+    assert arr.shape[-1] == 126 and np.isfinite(arr).all()
