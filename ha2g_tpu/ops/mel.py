@@ -98,14 +98,20 @@ def dft_basis(n_fft: int = N_FFT) -> tuple[np.ndarray, np.ndarray]:
 # JAX ops
 # ---------------------------------------------------------------------------
 
-def _frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """(..., n_samples) -> (..., n_frames, n_fft) with center reflect padding.
+def _frame_signal(y: jnp.ndarray, n_fft: int, hop: int,
+                  center: bool = True) -> jnp.ndarray:
+    """(..., n_samples) -> (..., n_frames, n_fft) with center reflect padding
+    (center=False frames the raw signal — the streaming front-end slices
+    hop-aligned segments with real context and must not re-pad them).
 
     For hop == n_fft//2 (the HA2G configuration) frames are two adjacent
     hop-chunks, so framing is two reshapes + concat (no gather).
     """
-    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-    yp = jnp.pad(y, pad, mode="reflect")
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        yp = jnp.pad(y, pad, mode="reflect")
+    else:
+        yp = y
     n = yp.shape[-1]
     if hop * 2 == n_fft:
         n_chunks = n // hop
@@ -119,10 +125,10 @@ def _frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 
 def power_spectrogram(y: jnp.ndarray, n_fft: int = N_FFT,
-                      hop: int = HOP) -> jnp.ndarray:
+                      hop: int = HOP, center: bool = True) -> jnp.ndarray:
     """|STFT|^2: (..., n_samples) -> (..., n_frames, 1 + n_fft//2)."""
     cos_b, sin_b = dft_basis(n_fft)
-    frames = _frame_signal(y, n_fft, hop)
+    frames = _frame_signal(y, n_fft, hop, center)
     re = frames @ jnp.asarray(cos_b)
     im = frames @ jnp.asarray(sin_b)
     return re * re + im * im
@@ -151,6 +157,22 @@ def log_mel_spectrogram(y: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP,
     spec = power_spectrogram(y, n_fft, hop)          # (F, bins)
     mel = spec @ jnp.asarray(mel_filterbank(SR, n_fft, n_mels))  # (F, n_mels)
     return power_to_db(mel).T                         # (n_mels, F)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "n_mels", "center"))
+def log_mel_abs(y: jnp.ndarray, n_fft: int = N_FFT, hop: int = HOP,
+                n_mels: int = N_MELS, center: bool = True) -> jnp.ndarray:
+    """UN-referenced log-mel: ``10*log10(max(mel, amin))`` — i.e.
+    log_mel_spectrogram before the per-clip ``ref=np.max`` subtraction and
+    the -80 dB floor.  The streaming synthesis front-end consumes this and
+    applies its own RUNNING reference (librosa's ref is the whole clip's
+    peak, unknowable live).  center=False frames the signal raw so
+    hop-aligned mid-stream segments produce exactly the frames the
+    full-clip centered transform would (each interior frame sees only real
+    samples).  (n_samples,) -> (n_mels, n_frames)."""
+    spec = power_spectrogram(y, n_fft, hop, center)
+    mel = spec @ jnp.asarray(mel_filterbank(SR, n_fft, n_mels))
+    return (10.0 * jnp.log10(jnp.maximum(mel, 1e-10))).T
 
 
 # NOTE jit-of-vmap, not bare vmap: vmap over the inner jit dispatches the

@@ -215,6 +215,15 @@ class SlidingWindowSynthesizer:
                                for r in result])
         return result
 
+    def stream(self, lang: Vocab, vid: int,
+               total_seconds: Optional[float] = None,
+               rng: Optional[jax.Array] = None,
+               db_ref: Optional[float] = None) -> "GestureStream":
+        """Open an incremental (live) synthesis stream — see GestureStream.
+        Spectrogram-windowed models only (hierarchy, speech2gesture)."""
+        return GestureStream(self, lang, vid, total_seconds=total_seconds,
+                             rng=rng, db_ref=db_ref)
+
 
 class HierarchySynthesizer(SlidingWindowSynthesizer):
     """Per-window audio encoder + full level cascade
@@ -519,6 +528,212 @@ def make_synthesizer(system, state, low_latency: bool = False):
     if model == "joint_embedding":
         return EmbedSynthesizer(system, state)
     raise ValueError(f"no synthesizer for model {model}")
+
+
+class GestureStream:
+    """Incremental (live) gesture synthesis over ONE audio stream.
+
+    The sliding-window engine is causal — window i consumes the
+    spectrogram slice [s0_i, s0_i + spec_len) and the pre-seq carry from
+    window i-1 — so gestures can be generated WHILE audio arrives,
+    one window (n_poses frames = ~2.27 s) behind the live edge.  The
+    reference's synthesize loops (synthesize_hierarchy.py:36-215) are
+    batch-only; this is a serving superset for live avatars / telephony.
+
+        stream = synth.stream(lang, vid=3)            # HierarchySynthesizer
+        for chunk, new_words in audio_source:         # any chunk sizes
+            frames = stream.feed(chunk, words=new_words)
+            ...render frames...                        # (n_new, pose_dim)
+        frames = stream.finish()
+
+    Semantics vs the batch path (``generate()``), both exact by design:
+
+    * window layout: with ``total_seconds`` given (file playback, TTS — the
+      duration is known up front) the batch formula is used and the output
+      is numerically IDENTICAL to ``generate()`` once the dB-reference
+      condition below holds.  With it unknown (live), window i starts at
+      the sample-exact spec frame ``(i * stride_samples) // hop`` — within
+      one 32 ms spec frame of the batch layout's clip-relative rounding.
+    * mel frames: interior spectrogram frames see only real samples, so
+      they are computed incrementally from hop-aligned segments
+      (ops/mel.py::log_mel_abs(center=False)) and equal the full-clip
+      transform's frames bit-for-bit; the first and last frame (start/end
+      reflect padding) are produced by the centered transform on the
+      buffered prefix / full buffer.
+    * dB reference: librosa's ``power_to_db(ref=np.max)`` references the
+      WHOLE clip's peak mel energy — unknowable live.  The stream applies
+      the RUNNING peak over fully-arrived frames; from the moment the
+      clip's loudest frame has arrived, features match the batch path
+      exactly.  (Speech clips hit their peak early in practice; a caller
+      with a calibrated deployment can pre-seed ``db_ref``.)
+    * words may arrive incrementally (live ASR); a window consumes the
+      words known when its audio completes, so feed a window's words no
+      later than its audio.
+
+    Emission: window 0 yields its first ``n_poses - n_pre_poses`` frames;
+    each later window first re-emits the previous window's held-back
+    ``n_pre_poses`` tail cross-faded with its own head (the batch path's
+    blend), then its middle frames; ``finish()`` flushes the final tail.
+    """
+
+    def __init__(self, synth: "SlidingWindowSynthesizer", lang: Vocab,
+                 vid: int, total_seconds: Optional[float] = None,
+                 rng: Optional[jax.Array] = None,
+                 db_ref: Optional[float] = None):
+        from ha2g_tpu.ops.mel import HOP, N_FFT, log_mel_abs
+        assert synth.uses_spec and not synth.uses_audio, \
+            "streaming drives spectrogram-windowed models"
+        self.synth = synth
+        self.cfg = synth.cfg
+        self.lang = lang
+        self.vid = int(vid)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._hop, self._nfft = HOP, N_FFT
+        self._log_mel_abs = log_mel_abs
+        cfg = self.cfg
+        self.unit_time = cfg.n_poses / cfg.motion_resampling_framerate
+        self.stride_time = (cfg.n_poses - cfg.n_pre_poses) / \
+            cfg.motion_resampling_framerate
+        self.spec_len = spectrogram_length_for(
+            cfg.n_poses, cfg.motion_resampling_framerate)
+        self.total_seconds = total_seconds
+        if total_seconds is not None:
+            n_total = int(round(total_seconds * SR))
+            self._S_total = n_total // self._hop + 1
+            _, _, self._num_sub = _window_layout(cfg, n_total / SR)
+        self._buf = np.zeros(0, np.float32)
+        self._words: list = []
+        self._frames = np.zeros((128, 0), np.float32)  # absolute log-mel
+        self._ref = -np.inf if db_ref is None else float(db_ref)
+        self._next_w = 0
+        self._carry = np.zeros((1, cfg.n_pre_poses, synth.spec.pose_dim),
+                               np.float32)
+        self._tail: Optional[np.ndarray] = None
+        self._finished = False
+
+    # ------------------------------------------------------------------
+    def _s0(self, i: int) -> int:
+        if self.total_seconds is not None:
+            return math.floor(i * self.stride_time / self.total_seconds
+                              * self._S_total)
+        return (i * int(round(self.stride_time * SR))) // self._hop
+
+    def _extend_frames(self, final: bool) -> None:
+        """Grow the cached absolute log-mel frames from the buffer.
+
+        TPU shape discipline: a naive "centered transform over the prefix"
+        recompiles for EVERY buffer length (a compile per feed — observed
+        as a multi-minute stall on the real chip).  Instead the start/end
+        reflect context is materialized on the host (512 samples each) and
+        every extension goes through ONE non-centered jit whose segment
+        length is zero-padded to a power-of-two frame bucket — a handful of
+        compiled shapes total, reused across streams.  Frame k of the
+        centered transform covers samples [k*hop - nfft/2, k*hop + nfft/2),
+        i.e. E[k*hop : k*hop + nfft] of the reflect-extended signal E."""
+        hop, half = self._hop, self._nfft // 2
+        n = len(self._buf)
+        have = self._frames.shape[1]
+        want = n // hop + (1 if final else 0)   # final adds the end-reflect
+        if want <= have or n <= half:           # frame (librosa center=True)
+            return
+        parts = [self._buf[1:half + 1][::-1], self._buf]
+        if final:
+            parts.append(self._buf[-2:-half - 2:-1])
+        ext = np.concatenate(parts)
+        f = want - have
+        seg = ext[have * hop: (want + 1) * hop]
+        fb = 1 << max(6, (f - 1).bit_length())  # frame bucket: pow2, min 64
+        seg = np.pad(seg, (0, (fb + 1) * hop - len(seg)))
+        new = np.asarray(self._log_mel_abs(jnp.asarray(seg), center=False))
+        self._frames = np.concatenate([self._frames, new[:, :f]], axis=1)
+        assert self._frames.shape[1] == want, (self._frames.shape, want, n)
+        if want > 0:
+            self._ref = max(self._ref, float(self._frames.max()))
+
+    def _run_window(self, i: int) -> np.ndarray:
+        cfg = self.cfg
+        s0, s1 = self._s0(i), self._s0(i) + self.spec_len
+        fr = self._frames
+        if s1 > fr.shape[1]:              # final window: edge-pad (batch
+            fr = np.pad(fr, ((0, 0), (0, s1 - fr.shape[1])), mode="edge")
+        # float32 throughout: matches the device path's f32 subtract/floor
+        spec_w = np.maximum(fr[:, s0:s1] - np.float32(self._ref),
+                            np.float32(-80.0))
+        start_t = i * self.stride_time
+        text_w = frame_aligned_word_indices(
+            self._words, start_t, start_t + self.unit_time, cfg.n_poses,
+            self.lang)
+        inputs = {"spec_w": jnp.asarray(spec_w[None]),
+                  "text_w": jnp.asarray(text_w[None]),
+                  "carry": jnp.asarray(self._carry),
+                  "vids": jnp.asarray([self.vid], np.int32)}
+        out = np.asarray(self.synth._step(self.synth.state, inputs,
+                                          jax.random.fold_in(self.rng, i)))
+        self._carry = out[:, -cfg.n_pre_poses:]
+        n = cfg.n_pre_poses
+        if self._tail is None:
+            emit = out[0, :-n]
+        else:
+            j = np.arange(n).reshape(n, 1)
+            blend = self._tail * (n - j) / (n + 1) + \
+                out[0, :n] * (j + 1) / (n + 1)
+            emit = np.concatenate([blend, out[0, n:-n]], axis=0)
+        self._tail = out[0, -n:]
+        self._next_w = i + 1
+        return emit.astype(np.float32)
+
+    def _ready(self, i: int) -> bool:
+        """Window i's spec frames all fully real in the buffer?"""
+        if self.total_seconds is not None and i >= self._num_sub:
+            return False
+        return (self._s0(i) + self.spec_len) * self._hop <= len(self._buf)
+
+    # ------------------------------------------------------------------
+    def feed(self, samples=None, words: Sequence = ()) -> np.ndarray:
+        """Append audio samples (float32 [-1,1], int16, or uint8 mu-law)
+        and/or word timings; returns newly final pose frames
+        (n_new, pose_dim) — possibly empty."""
+        assert not self._finished, "stream already finished"
+        if words:
+            self._words.extend(words)
+        if samples is not None:
+            samples = np.asarray(samples)
+            if samples.dtype == np.int16:
+                samples = samples.astype(np.float32) / 32768.0
+            elif samples.dtype == np.uint8:
+                from ha2g_tpu.ops.mel import mulaw_decode
+                samples = np.asarray(mulaw_decode(jnp.asarray(samples)))
+            self._buf = np.concatenate([self._buf,
+                                        samples.astype(np.float32)])
+        outs = []
+        while self._ready(self._next_w):
+            self._extend_frames(final=False)
+            outs.append(self._run_window(self._next_w))
+        return np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, self.synth.spec.pose_dim), np.float32)
+
+    def finish(self) -> np.ndarray:
+        """Flush: run any remaining (edge-padded) windows on the complete
+        buffer and emit the held-back tail."""
+        assert not self._finished, "stream already finished"
+        self._finished = True
+        if len(self._buf) <= self._nfft // 2:
+            # degenerate: less audio than one reflect-padded DFT frame
+            return (self._tail.astype(np.float32) if self._tail is not None
+                    else np.zeros((0, self.synth.spec.pose_dim), np.float32))
+        clip_seconds = len(self._buf) / SR
+        if self.total_seconds is None:
+            self.total_seconds = clip_seconds
+            self._S_total = len(self._buf) // self._hop + 1
+            _, _, self._num_sub = _window_layout(self.cfg, clip_seconds)
+        self._extend_frames(final=True)
+        outs = []
+        while self._next_w < self._num_sub:
+            outs.append(self._run_window(self._next_w))
+        if self._tail is not None:
+            outs.append(self._tail.astype(np.float32))
+        return np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, self.synth.spec.pose_dim), np.float32)
 
 
 def polyfit_smooth(out_dir_vec: np.ndarray, cfg: Config) -> np.ndarray:

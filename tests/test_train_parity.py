@@ -40,6 +40,8 @@ HID, NL = 16, 2
 B, T = 4, 34
 POSE_DIM = 27
 LR = 0.05
+# Adam trajectory test: the flagship's actual lr (configs/hierarchy.yaml)
+LR_ADAM = 5e-4
 
 
 # ---------------------------------------------------------------------------
@@ -765,6 +767,72 @@ def test_adam_partition_identity():
         got = optax.apply_updates(sub, up_i)
         np.testing.assert_allclose(np.asarray(got[key]),
                                    np.asarray(combined[key]), rtol=1e-6)
+
+
+def test_hierarchy_multistep_adam_trajectory_parity():
+    """THREE full iterations under the reference's real optimizer layout —
+    per-module torch.optim.Adam(lr, betas=(0.5, 0.999)) with the
+    discriminator at lr * discriminator_lr_weight (train.py:155-170) vs our
+    combined optax.adam pair — must produce the same loss trajectory.
+
+    This closes the gap the one-step SGD tests leave open: steps 2 and 3
+    are computed THROUGH the parameters Adam produced at steps 1 and 2, so
+    any error in the optimizer wiring (betas, eps, bias correction, the
+    G/D partition, the D lr scaling) compounds into the later metrics.
+    Parameter trees are not compared leaf-wise here: Adam's per-element
+    sqrt(v) normalization maps the fp32 noise on true-zero gradients
+    (BN-shadowed biases) to O(lr) updates of arbitrary sign, which is real
+    behavior on both sides but makes elementwise comparison meaningless —
+    the metric trajectory is the invariant that must (and does) match.
+    Tolerances widen per step with compounding fp32 drift."""
+    cfg, system, state, batch, torch_mods, mean_vec = _hier_setup()
+    t_gens, t_audio, t_dis, t_text = torch_mods
+
+    # the reference optimizer (train.py:155-170), replacing _hier_setup's
+    # SGD; opt states re-initialized to match
+    system.g_tx = optax.adam(LR_ADAM, b1=0.5, b2=0.999)
+    system.d_tx = optax.adam(LR_ADAM * cfg.discriminator_lr_weight,
+                             b1=0.5, b2=0.999)
+    g_params = {k: state.params[k] for k in ("audio", "text", "gens")}
+    state = state.replace(g_opt=system.g_tx.init(g_params),
+                          d_opt=system.d_tx.init(state.params["dis"]))
+
+    adam = lambda ps, lr: torch.optim.Adam(ps, lr=lr, betas=(0.5, 0.999))
+    opts = {"g1": adam(t_gens[0].parameters(), LR_ADAM),
+            "g2": adam(t_gens[1].parameters(), LR_ADAM),
+            "g3": adam(t_gens[2].parameters(), LR_ADAM),
+            "audio": adam(t_audio.parameters(), LR_ADAM),
+            "text": adam(t_text.parameters(), LR_ADAM),
+            "dis": adam(t_dis.parameters(),
+                        LR_ADAM * cfg.discriminator_lr_weight)}
+    tcfg = {"loss_regression_weight": cfg.loss_regression_weight,
+            "loss_kld_weight": cfg.loss_kld_weight,
+            "loss_reg_weight": cfg.loss_reg_weight,
+            "loss_gan_weight": cfg.loss_gan_weight,
+            "loss_contrastive_pos_weight": cfg.loss_contrastive_pos_weight,
+            "loss_contrastive_neg_weight": cfg.loss_contrastive_neg_weight,
+            "loss_physical_weight": cfg.loss_physical_weight,
+            "mean_dir_vec": mean_vec}
+    tb = {k: torch.from_numpy(np.asarray(v)) for k, v in batch.items()}
+    spec = system.spec
+
+    step = system.make_train_step(gan_on=True)
+    rtols = (2e-3, 8e-3, 2e-2)
+    for i, rtol in enumerate(rtols):
+        rng = jax.random.PRNGKey(42 + i)
+        state, metrics = step(state, batch, rng)
+        k_perm = jax.random.split(rng, 5)[3]
+        rand_vids = np.asarray(
+            jax.random.permutation(k_perm, batch["vids"]))
+        ret = torch_train_iter_hierarchy(
+            tcfg, True, tb, t_gens, t_dis, t_audio, t_text, opts,
+            torch.from_numpy(rand_vids), spec.angle_prior.pairs,
+            spec.angle_prior.avg, spec.angle_prior.var)
+        assert set(ret.keys()) == set(metrics.keys()), i
+        for k, want in ret.items():
+            np.testing.assert_allclose(
+                float(metrics[k]), want, rtol=rtol, atol=1e-4,
+                err_msg=f"step {i}: {k}")
 
 
 # ---------------------------------------------------------------------------
