@@ -21,6 +21,18 @@ HTTP/JSON API with no extra dependencies (stdlib http.server).
   GET  /healthz      -> {"ok": true, "model": ..., "pose_dim": ...}
   GET  /stats        -> request/batch counters
 
+Live streams (synthesis.py::GestureStream — gestures generated WHILE the
+audio arrives, one window behind the live edge; spectrogram-windowed
+models):
+
+  POST /stream/open          {"vid": 0, "total_seconds": null|float}
+      -> {"stream_id": ...}
+  POST /stream/<id>/feed     {"audio": ..., "encoding": ...,
+                              "words": [...], "return_dtype": ...}
+      -> {"dir_vec": ..., "shape": [n_new, pose_dim], ...}  (may be empty)
+  POST /stream/<id>/finish   {"return_dtype": ...}
+      -> final frames; the stream is closed
+
 Batching model: requests arriving within `batch_window_ms` of each other
 are padded to the server's fixed clip length (one compiled program — no
 shape churn) and synthesized as ONE device call; each response is sliced
@@ -61,7 +73,10 @@ class GestureService:
 
     def __init__(self, checkpoint: str, max_clip_seconds: float = 20.0,
                  max_batch: int = 16, batch_window_ms: float = 30.0,
-                 low_latency: bool = True, warm: bool = True):
+                 low_latency: bool = True, warm: bool = True,
+                 max_streams: int = 32,
+                 max_stream_seconds: float = 120.0,
+                 stream_idle_timeout: float = 300.0):
         from ha2g_tpu.cli import _load_checkpoint_system
         from ha2g_tpu.synthesis import make_synthesizer
 
@@ -81,7 +96,12 @@ class GestureService:
         self.buckets = sorted({b for b in (1, 4, 8, self.max_batch)
                                if b <= self.max_batch})
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "frames": 0}
+                      "frames": 0, "streams_opened": 0}
+        self.max_streams = int(max_streams)
+        self.max_stream_seconds = float(max_stream_seconds)
+        self.stream_idle_timeout = float(stream_idle_timeout)
+        self._streams: dict[str, dict] = {}
+        self._streams_lock = threading.Lock()
         self._q: Queue[_Request] = Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -102,7 +122,82 @@ class GestureService:
                         for _ in range(bucket)]
                 for r in reqs:
                     r.done.wait()
+        if self._supports_streaming():
+            # prime the live-stream path: the B=1 window step is shared
+            # with the bucket-1 program above; this compiles the bucketed
+            # streaming mel front-end (synthesis.py::GestureStream)
+            sid = self.open_stream(0)
+            self.stream_feed(sid, np.zeros(2 * SR, np.float32))
+            self.stream_feed(sid, np.zeros(2 * SR, np.float32))
+            self.stream_finish(sid)
 
+    # ---- live streams --------------------------------------------------
+    def _supports_streaming(self) -> bool:
+        return self.synth.uses_spec and not self.synth.uses_audio
+
+    def open_stream(self, vid: int = 0,
+                    total_seconds: float | None = None) -> str:
+        """Open a live GestureStream session; returns its id.  One device
+        call per ready window (B=1, the warm compiled program) — streams
+        trade the batch path's throughput for bounded live latency."""
+        if not self._supports_streaming():
+            raise ValueError(
+                f"model {self.cfg.model!r} is not spectrogram-windowed; "
+                "live streaming drives spec-windowed models (hierarchy, "
+                "speech2gesture)")
+        import uuid
+        now = time.monotonic()
+        with self._streams_lock:
+            for sid in [s for s, e in self._streams.items()
+                        if now - e["t"] > self.stream_idle_timeout]:
+                del self._streams[sid]
+            if len(self._streams) >= self.max_streams:
+                raise RuntimeError(
+                    f"too many live streams (max {self.max_streams})")
+            sid = uuid.uuid4().hex[:16]
+            self._streams[sid] = {
+                "stream": self.synth.stream(self.lang, int(vid),
+                                            total_seconds=total_seconds),
+                "lock": threading.Lock(), "t": now}
+            self.stats["streams_opened"] += 1
+            return sid
+
+    def _stream_entry(self, stream_id: str) -> dict:
+        with self._streams_lock:
+            entry = self._streams.get(stream_id)
+            if entry is None:
+                raise KeyError(f"unknown stream {stream_id!r} "
+                               "(finished or idle-expired)")
+            entry["t"] = time.monotonic()
+            return entry
+
+    def stream_feed(self, stream_id: str, samples=None,
+                    words=()) -> np.ndarray:
+        """Append audio/words to a live stream; returns newly final pose
+        frames (possibly 0)."""
+        entry = self._stream_entry(stream_id)
+        with entry["lock"]:
+            st = entry["stream"]
+            n_new = 0 if samples is None else len(np.atleast_1d(samples))
+            if (len(st._buf) + n_new) / SR > self.max_stream_seconds:
+                raise ValueError(
+                    f"stream exceeds max_stream_seconds="
+                    f"{self.max_stream_seconds}; finish and open a new one")
+            out = st.feed(samples, words=words)
+            self.stats["frames"] += int(out.shape[0])
+            return out
+
+    def stream_finish(self, stream_id: str) -> np.ndarray:
+        """Flush and close a live stream; returns the final frames."""
+        entry = self._stream_entry(stream_id)
+        with entry["lock"]:
+            out = entry["stream"].finish()
+            self.stats["frames"] += int(out.shape[0])
+        with self._streams_lock:
+            self._streams.pop(stream_id, None)
+        return out
+
+    # --------------------------------------------------------------------
     def submit(self, audio: np.ndarray, words, vid: int,
                fused: bool = True) -> _Request:
         audio = np.asarray(audio, np.float32).reshape(-1)
@@ -231,7 +326,50 @@ def make_http_server(service: GestureService, host: str = "127.0.0.1",
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _encode_out(self, out: np.ndarray, rd: str) -> dict:
+            if rd not in ("f32", "f16"):
+                raise ValueError(f"return_dtype {rd!r}")
+            arr = np.ascontiguousarray(out, "<f2" if rd == "f16" else "<f4")
+            return {"dir_vec": base64.b64encode(arr.tobytes()).decode(),
+                    "dtype": rd, "shape": list(arr.shape),
+                    "fps": service.fps}
+
+        def _do_stream(self, req: dict):
+            """/stream/open | /stream/<id>/feed | /stream/<id>/finish."""
+            if self.path == "/stream/open":
+                sid = service.open_stream(
+                    int(req.get("vid", 0)), req.get("total_seconds"))
+                return self._json(200, {"stream_id": sid})
+            parts = self.path.split("/")   # ['', 'stream', id, verb]
+            if len(parts) != 4 or parts[3] not in ("feed", "finish"):
+                return self._json(404, {"error": "unknown path"})
+            sid, verb = parts[2], parts[3]
+            t0 = time.perf_counter()
+            try:
+                if verb == "feed":
+                    samples = None
+                    if "audio" in req:
+                        samples = _decode_audio(
+                            req["audio"], req.get("encoding", "pcm_f32"))
+                    out = service.stream_feed(sid, samples,
+                                              req.get("words", ()))
+                else:
+                    out = service.stream_finish(sid)
+            except KeyError as e:
+                return self._json(404, {"error": str(e)})
+            resp = self._encode_out(out, req.get("return_dtype", "f32"))
+            resp["latency_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+            self._json(200, resp)
+
         def do_POST(self):
+            if self.path.startswith("/stream"):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n)) if n else {}
+                    return self._do_stream(req)
+                except Exception as e:  # noqa: BLE001
+                    return self._json(500,
+                                      {"error": f"{type(e).__name__}: {e}"})
             if self.path != "/synthesize":
                 return self._json(404, {"error": "unknown path"})
             try:

@@ -134,6 +134,75 @@ def test_http_error_path(service):
         httpd.shutdown()
 
 
+def test_service_live_stream_matches_batch(service):
+    """A live stream fed chunk-by-chunk equals the one-shot host-loop
+    path for the same clip (known duration, early peak — see
+    synthesis.py::GestureStream)."""
+    rng = np.random.default_rng(7)
+    audio = rng.normal(size=3 * SR).astype(np.float32) * 0.05
+    audio[4000:4600] += np.sin(np.arange(600) * 0.6).astype(np.float32)
+    words = [("w1", 0.2, 0.5), ("w2", 1.1, 1.4)]
+    want = service.synth.generate(
+        audio[None], [words], service.lang, np.asarray([0], np.int32))[0]
+
+    sid = service.open_stream(vid=0, total_seconds=3.0)
+    outs = [service.stream_feed(sid, audio[:SR], words=words),
+            service.stream_feed(sid, audio[SR:]),
+            service.stream_finish(sid)]
+    got = np.concatenate(outs, axis=0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+    assert service.stats["streams_opened"] >= 1
+    # finished stream is gone
+    with pytest.raises(KeyError):
+        service.stream_feed(sid, audio[:100])
+
+
+def test_service_stream_caps(service):
+    sid = service.open_stream(vid=0)
+    with pytest.raises(ValueError):
+        service.stream_feed(
+            sid, np.zeros(int(service.max_stream_seconds * SR) + SR,
+                          np.float32))
+    service.stream_finish(sid)
+
+
+def test_http_live_stream(service):
+    import urllib.error
+    from ha2g_tpu.serve import make_http_server
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(path, obj, timeout=600):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    try:
+        sid = post("/stream/open", {"vid": 0})["stream_id"]
+        audio = (np.random.default_rng(3).normal(size=3 * SR)
+                 .astype("<f4") * 0.1)
+        r1 = post(f"/stream/{sid}/feed",
+                  {"audio": base64.b64encode(audio.tobytes()).decode(),
+                   "words": [["w1", 0.3, 0.6]]})
+        r2 = post(f"/stream/{sid}/finish", {})
+        from ha2g_tpu.synthesis import _window_layout
+        _, _, num = _window_layout(service.cfg, 3.0)
+        n = r1["shape"][0] + r2["shape"][0]
+        assert r1["shape"][1] == r2["shape"][1] == 27
+        assert n == 34 + (num - 1) * 30
+        # unknown stream -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(f"/stream/{sid}/feed", {})
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
 def test_http_compact_encodings(service):
     """pcm_i16 and pcm_mulaw request encodings decode to (near-)identical
     waveforms, so responses match the float32 request closely."""
