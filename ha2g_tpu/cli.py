@@ -431,12 +431,16 @@ def cmd_serve(argv):
     p.add_argument("--batch_window_ms", type=float, default=30.0)
     p.add_argument("--no_low_latency", action="store_true",
                    help="disable the Pallas fused-GRU generators")
+    p.add_argument("--stream_batching", action="store_true",
+                   help="coalesce concurrent live streams' windows into "
+                        "one device call (serve.py::_WindowBatcher)")
     a = p.parse_args(argv)
     serve_forever(a.checkpoint, a.host, a.port,
                   max_clip_seconds=a.max_clip_seconds,
                   max_batch=a.max_batch,
                   batch_window_ms=a.batch_window_ms,
-                  low_latency=not a.no_low_latency)
+                  low_latency=not a.no_low_latency,
+                  stream_batching=a.stream_batching)
     return 0
 
 

@@ -68,6 +68,107 @@ class _Request:
     t_enqueue: float = field(default_factory=time.perf_counter)
 
 
+@dataclass
+class _WindowReq:
+    inputs: dict                 # batch-1 window-step inputs
+    rng: object                  # this window's jax PRNG key
+    done: threading.Event = field(default_factory=threading.Event)
+    result: np.ndarray | None = None
+    error: str | None = None
+
+
+class _WindowBatcher:
+    """Coalesces ready windows from CONCURRENT live streams into one
+    device call.  Window-step inputs are shape-uniform across streams
+    (spec_w (128,S), text_w (T,), carry (n_pre,D), vid), so k streams'
+    windows pad to the service's compiled batch buckets and run as the
+    SAME program the batch path uses — k live streams cost one device
+    dispatch (~34 ms tunnel round trip on this TPU) per window instead
+    of k.
+
+    Randomness caveat (same as HierarchySynthesizer.run_fused's chunking
+    note): the speaker-z reparameterization eps is drawn per device call,
+    so a batched window's draw differs from the solo-stream draw exactly
+    as if the clips had been synthesized together; a single-request batch
+    keeps the stream's own key, so an idle service stays bit-identical to
+    unbatched streaming."""
+
+    def __init__(self, synth, state, buckets, window_ms: float = 8.0,
+                 stats: dict | None = None):
+        self.synth = synth
+        self.state = state
+        self.buckets = list(buckets)
+        self.window = window_ms / 1000.0
+        self.stats = stats if stats is not None else {}
+        self._q: Queue[_WindowReq] = Queue()
+        self._stop = threading.Event()
+        self._counter = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def run(self, inputs: dict, rng) -> np.ndarray:
+        """GestureStream executor hook: blocks until this window ran."""
+        req = _WindowReq(inputs=inputs, rng=rng)
+        self._q.put(req)
+        req.done.wait()
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def _loop(self):
+        max_b = self.buckets[-1]
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except Empty:
+                continue
+            reqs = [first]
+            deadline = time.perf_counter() + self.window
+            while len(reqs) < max_b:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    reqs.append(self._q.get(timeout=remaining))
+                except Empty:
+                    break
+            self._run(reqs)
+
+    def _run(self, reqs: list[_WindowReq]):
+        import jax
+
+        try:
+            k = len(reqs)
+            B = next(b for b in self.buckets if b >= k)
+            stacked = {}
+            for key in reqs[0].inputs:
+                rows = [np.asarray(r.inputs[key]) for r in reqs]
+                rows += [rows[-1]] * (B - k)      # pad: repeat the last row
+                stacked[key] = np.concatenate(rows, axis=0)
+            if k == 1:
+                rng = reqs[0].rng                 # bit-equal to unbatched
+            else:
+                rng = jax.random.fold_in(jax.random.PRNGKey(0x57BA7C),
+                                         self._counter)
+            self._counter += 1
+            out = np.asarray(self.synth._step(self.state, stacked, rng))
+            self.stats["stream_batches"] = \
+                self.stats.get("stream_batches", 0) + 1
+            self.stats["stream_windows"] = \
+                self.stats.get("stream_windows", 0) + k
+            for i, r in enumerate(reqs):
+                r.result = out[i:i + 1]
+                r.done.set()
+        except Exception as e:  # noqa: BLE001 — serving must not die
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
+
+
 class GestureService:
     """Checkpoint -> warm synthesizer + micro-batching loop (no HTTP)."""
 
@@ -76,7 +177,9 @@ class GestureService:
                  low_latency: bool = True, warm: bool = True,
                  max_streams: int = 32,
                  max_stream_seconds: float = 120.0,
-                 stream_idle_timeout: float = 300.0):
+                 stream_idle_timeout: float = 300.0,
+                 stream_batching: bool = False,
+                 stream_batch_window_ms: float = 8.0):
         from ha2g_tpu.cli import _load_checkpoint_system
         from ha2g_tpu.synthesis import make_synthesizer
 
@@ -102,6 +205,12 @@ class GestureService:
         self.stream_idle_timeout = float(stream_idle_timeout)
         self._streams: dict[str, dict] = {}
         self._streams_lock = threading.Lock()
+        # opt-in: coalesce concurrent streams' windows into one device call
+        # (see _WindowBatcher for the randomness caveat)
+        self._window_batcher = _WindowBatcher(
+            self.synth, self.state, self.buckets,
+            window_ms=stream_batch_window_ms, stats=self.stats) \
+            if stream_batching and self._supports_streaming() else None
         self._q: Queue[_Request] = Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -155,9 +264,12 @@ class GestureService:
                 raise RuntimeError(
                     f"too many live streams (max {self.max_streams})")
             sid = uuid.uuid4().hex[:16]
+            executor = self._window_batcher.run \
+                if self._window_batcher is not None else None
             self._streams[sid] = {
                 "stream": self.synth.stream(self.lang, int(vid),
-                                            total_seconds=total_seconds),
+                                            total_seconds=total_seconds,
+                                            executor=executor),
                 "lock": threading.Lock(), "t": now}
             self.stats["streams_opened"] += 1
             return sid
@@ -222,6 +334,8 @@ class GestureService:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        if self._window_batcher is not None:
+            self._window_batcher.close()
 
     # ------------------------------------------------------------------
     def _loop(self):

@@ -218,11 +218,12 @@ class SlidingWindowSynthesizer:
     def stream(self, lang: Vocab, vid: int,
                total_seconds: Optional[float] = None,
                rng: Optional[jax.Array] = None,
-               db_ref: Optional[float] = None) -> "GestureStream":
+               db_ref: Optional[float] = None,
+               executor=None) -> "GestureStream":
         """Open an incremental (live) synthesis stream — see GestureStream.
         Spectrogram-windowed models only (hierarchy, speech2gesture)."""
         return GestureStream(self, lang, vid, total_seconds=total_seconds,
-                             rng=rng, db_ref=db_ref)
+                             rng=rng, db_ref=db_ref, executor=executor)
 
 
 class HierarchySynthesizer(SlidingWindowSynthesizer):
@@ -579,7 +580,12 @@ class GestureStream:
     def __init__(self, synth: "SlidingWindowSynthesizer", lang: Vocab,
                  vid: int, total_seconds: Optional[float] = None,
                  rng: Optional[jax.Array] = None,
-                 db_ref: Optional[float] = None):
+                 db_ref: Optional[float] = None,
+                 executor=None):
+        """executor: optional ``(inputs, rng) -> (1, n_poses, pose_dim)``
+        override for the window device call — serve.py routes concurrent
+        streams' windows through a shared batching executor so k live
+        streams cost one device call per window instead of k."""
         from ha2g_tpu.ops.mel import HOP, N_FFT, log_mel_abs
         assert synth.uses_spec and not synth.uses_audio, \
             "streaming drives spectrogram-windowed models"
@@ -601,6 +607,7 @@ class GestureStream:
             n_total = int(round(total_seconds * SR))
             self._S_total = n_total // self._hop + 1
             _, _, self._num_sub = _window_layout(cfg, n_total / SR)
+        self._executor = executor
         self._buf = np.zeros(0, np.float32)
         self._words: list = []
         self._frames = np.zeros((128, 0), np.float32)  # absolute log-mel
@@ -667,8 +674,12 @@ class GestureStream:
                   "text_w": jnp.asarray(text_w[None]),
                   "carry": jnp.asarray(self._carry),
                   "vids": jnp.asarray([self.vid], np.int32)}
-        out = np.asarray(self.synth._step(self.synth.state, inputs,
-                                          jax.random.fold_in(self.rng, i)))
+        w_rng = jax.random.fold_in(self.rng, i)
+        if self._executor is None:
+            out = np.asarray(self.synth._step(self.synth.state, inputs,
+                                              w_rng))
+        else:
+            out = np.asarray(self._executor(inputs, w_rng))
         self._carry = out[:, -cfg.n_pre_poses:]
         n = cfg.n_pre_poses
         if self._tail is None:

@@ -203,6 +203,55 @@ def test_http_live_stream(service):
         httpd.shutdown()
 
 
+def test_stream_batching_coalesces_windows(tiny_checkpoint):
+    """With stream_batching on, concurrent live streams' windows run as
+    shared device calls, and (this checkpoint has z_type='none', so the
+    windows are z-noise-free) each stream's output equals its solo
+    unbatched run despite the shared batch.  With z_type='speaker' the
+    shared call changes the eps draw like batching the clips would — the
+    documented _WindowBatcher caveat."""
+    from ha2g_tpu.serve import GestureService
+    svc = GestureService(tiny_checkpoint, max_clip_seconds=4.0,
+                         max_batch=8, batch_window_ms=20.0,
+                         low_latency=False, warm=False,
+                         stream_batching=True,
+                         stream_batch_window_ms=120.0)
+    try:
+        rng = np.random.default_rng(11)
+        clips = [rng.normal(size=3 * SR).astype(np.float32) * 0.1
+                 for _ in range(3)]
+
+        # solo references (no batching executor)
+        solo = [np.concatenate(
+            [(st := svc.synth.stream(svc.lang, vid=0, total_seconds=3.0))
+             .feed(c), st.finish()], axis=0) for c in clips]
+
+        results = {}
+
+        def run(i):
+            sid = svc.open_stream(vid=0, total_seconds=3.0)
+            out = [svc.stream_feed(sid, clips[i][:SR]),
+                   svc.stream_feed(sid, clips[i][SR:]),
+                   svc.stream_finish(sid)]
+            results[i] = np.concatenate(out, axis=0)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i in range(3):
+            np.testing.assert_allclose(results[i], solo[i], atol=5e-4,
+                                       rtol=0, err_msg=f"stream {i}")
+        # the 3 streams' windows shared device calls
+        assert svc.stats["stream_windows"] >= 6
+        assert svc.stats["stream_batches"] < svc.stats["stream_windows"]
+    finally:
+        svc.close()
+
+
 def test_http_compact_encodings(service):
     """pcm_i16 and pcm_mulaw request encodings decode to (near-)identical
     waveforms, so responses match the float32 request closely."""
