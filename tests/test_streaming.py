@@ -133,6 +133,36 @@ def test_stream_short_clip_single_window(hier_synth):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
 
 
+def test_stream_expressive_matches_batch():
+    """Same equivalence on the TED Expressive 6-level flagship skeleton
+    (126-dim poses) — the stream is SkeletonSpec-parameterized."""
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+    cfg = Config(model="hierarchy", dataset="ted_expressive", pose_dim=126,
+                 n_poses=T, n_pre_poses=4, hidden_size=16, n_layers=2,
+                 z_type="speaker")
+    sys_ = HierarchySystem(cfg, n_words=N_WORDS, n_speakers=N_SPK)
+    rng = np.random.default_rng(1)
+    batch = {
+        "text": jnp.asarray(rng.integers(0, N_WORDS, (2, T))),
+        "spec": jnp.asarray(rng.normal(size=(2, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.normal(size=(2, T, 126)).astype(np.float32) * 0.1),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (2,))),
+    }
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    synth = HierarchySynthesizer(sys_, state)
+    audio, words = _clip(4.0, seed=21)
+    lang = _lang()
+    key = jax.random.PRNGKey(3)
+    want = synth.generate(audio[None], [words], lang,
+                          np.asarray([1], np.int32), rng=key)[0]
+    st = synth.stream(lang, vid=1, total_seconds=4.0, rng=key)
+    got = np.concatenate([st.feed(audio[:30000], words=words),
+                          st.feed(audio[30000:]), st.finish()], axis=0)
+    assert got.shape == want.shape and got.shape[1] == 126
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+
+
 def test_stream_compact_pcm_inputs(hier_synth):
     """int16 and mu-law chunks decode to the same stream as float32."""
     audio, words = _clip(3.0, seed=11)
