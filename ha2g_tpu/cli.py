@@ -359,6 +359,28 @@ def cmd_import_checkpoint(argv):
     return 0
 
 
+def cmd_export_checkpoint(argv):
+    """Export a native checkpoint BACK to the reference's torch .bin
+    format (the inverse of import-checkpoint; hierarchy family) — train on
+    TPU here, deploy in a stack built on the reference code
+    (ha2g_tpu/export_torch.py)."""
+    from ha2g_tpu.export_torch import save_reference_checkpoint
+
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint", help="native checkpoint directory")
+    p.add_argument("out_bin", help="output torch .bin path")
+    a = p.parse_args(argv)
+    cfg, lang, speaker, system, state = _load_checkpoint_system(a.checkpoint)
+    if cfg.model != "hierarchy":
+        print(f"export-checkpoint currently covers the hierarchy family "
+              f"(got {cfg.model!r})")
+        return 1
+    save_reference_checkpoint(a.out_bin, state, cfg, lang, speaker)
+    print(f"wrote {a.out_bin} (reference train.py:232-243 layout, "
+          f"{cfg.skeleton.n_levels} gen_dicts)")
+    return 0
+
+
 def cmd_import_evalnet(argv):
     """Convert a reference FGD eval-net checkpoint (.bin) into a native
     eval_net_path directory: EmbeddingNet 'gen_dict' for pose_dim 27,
@@ -664,6 +686,7 @@ def main():
             "serve": cmd_serve,
             "parse-reference-log": cmd_parse_reference_log,
             "compare-trajectory": cmd_compare_trajectory,
+            "export-checkpoint": cmd_export_checkpoint,
             "motion-stats": cmd_motion_stats,
             "angle-stats": cmd_angle_stats,
             "build-dataset": cmd_build_dataset}

@@ -1,0 +1,266 @@
+"""Export native checkpoints BACK to the reference's torch format.
+
+The inverse of import_torch.py: a hierarchy checkpoint trained here can be
+handed to a stack built around the reference code (synthesize_hierarchy.py,
+train_utils.load_checkpoint_hierarchy — /root/reference/scripts/utils/
+train_utils.py:169-195), completing the migration story in both directions
+(train on TPU, deploy in an existing torch pipeline).
+
+Produced dict layout matches the reference's save_checkpoint exactly
+(train.py:232-243): {args, epoch, lang_model, speaker_model, pose_dim,
+gen_dict_1..K, audio_dict, text_dict, dis_dict}.  `args` and the vocab
+models are plain types.SimpleNamespace duck-types of the reference's
+configargparse Namespace / model.vocab.Vocab (attribute-compatible:
+word2index / index2word / word2count / n_words / word_embedding_weights),
+so torch.load needs no third-party classes on the unpickling side.
+
+Every tensor conversion is the exact inverse of the import primitive it
+mirrors (weight transposes, GRU direction stacking, weight-norm v/g,
+BatchNorm running stats); round-trip equality against import_torch and a
+strict=True state-dict load into the clean-room torch mirrors are asserted
+by tests/test_export_torch.py.
+"""
+
+from __future__ import annotations
+
+import types
+from typing import Any
+
+import numpy as np
+
+
+def _torch():
+    import torch
+    return torch
+
+
+def _t(arr):
+    return _torch().from_numpy(
+        np.array(np.asarray(arr), dtype=np.float32, copy=True))
+
+
+# ---------------------------------------------------------------------------
+# Primitive inverses (see import_torch.py counterparts)
+# ---------------------------------------------------------------------------
+
+def _inv_linear(p: dict, sd: dict, key: str) -> None:
+    sd[f"{key}.weight"] = _t(np.asarray(p["kernel"]).T)
+    sd[f"{key}.bias"] = _t(p["bias"])
+
+
+def _inv_dense(p: dict, sd: dict, key: str) -> None:
+    _inv_linear(p["Dense_0"], sd, key)
+
+
+def _inv_conv1d(p: dict, sd: dict, key: str) -> None:
+    # flax (k, in, out) -> torch (out, in, k)
+    sd[f"{key}.weight"] = _t(np.asarray(p["kernel"]).transpose(2, 1, 0))
+    if "bias" in p:
+        sd[f"{key}.bias"] = _t(p["bias"])
+
+
+def _inv_conv2d(p: dict, sd: dict, key: str) -> None:
+    # flax (kh, kw, in, out) -> torch (out, in, kh, kw)
+    sd[f"{key}.weight"] = _t(np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+    if "bias" in p:
+        sd[f"{key}.bias"] = _t(p["bias"])
+
+
+def _inv_bn(pp: dict, ss: dict, sd: dict, key: str) -> None:
+    """{'BatchNorm_0': {scale,bias}} + {'BatchNorm_0': {mean,var}} ->
+    torch BN entry (incl. num_batches_tracked for strict loads)."""
+    sd[f"{key}.weight"] = _t(pp["BatchNorm_0"]["scale"])
+    sd[f"{key}.bias"] = _t(pp["BatchNorm_0"]["bias"])
+    sd[f"{key}.running_mean"] = _t(ss["BatchNorm_0"]["mean"])
+    sd[f"{key}.running_var"] = _t(ss["BatchNorm_0"]["var"])
+    sd[f"{key}.num_batches_tracked"] = _torch().tensor(0)
+
+
+def _inv_gru(p: dict, sd: dict, prefix: str, n_layers: int,
+             bidirectional: bool = True) -> None:
+    """Our direction-stacked GRU params (D, in, 3h) -> torch per-direction
+    weight_ih_l{l}(_reverse)."""
+    D = 2 if bidirectional else 1
+    for l in range(n_layers):
+        for d in range(D):
+            sfx = f"_l{l}" + ("_reverse" if d == 1 else "")
+            sd[f"{prefix}.weight_ih{sfx}"] = _t(
+                np.asarray(p[f"w_ih_l{l}"])[d].T)
+            sd[f"{prefix}.weight_hh{sfx}"] = _t(
+                np.asarray(p[f"w_hh_l{l}"])[d].T)
+            sd[f"{prefix}.bias_ih{sfx}"] = _t(np.asarray(p[f"b_ih_l{l}"])[d])
+            sd[f"{prefix}.bias_hh{sfx}"] = _t(np.asarray(p[f"b_hh_l{l}"])[d])
+
+
+def _inv_weightnorm_conv(p: dict, sd: dict, key: str) -> None:
+    # v (k, in, out) -> weight_v (out, in, k); g (out,) -> (out, 1, 1)
+    sd[f"{key}.weight_v"] = _t(np.asarray(p["v"]).transpose(2, 1, 0))
+    sd[f"{key}.weight_g"] = _t(np.asarray(p["g"]).reshape(-1, 1, 1))
+    sd[f"{key}.bias"] = _t(p["b"])
+
+
+# ---------------------------------------------------------------------------
+# Module exporters (inverses of import_torch converters)
+# ---------------------------------------------------------------------------
+
+def export_text_encoder(params: dict, n_layers: int,
+                        prefix: str = "") -> dict:
+    """Inverse of convert_text_encoder (TextEncoderTCN params -> reference
+    hierarchy_net.py:22-52 state dict)."""
+    sd: dict[str, Any] = {}
+    sd[f"{prefix}embedding.weight"] = _t(params["embedding"])
+    tcn = params["TemporalConvNet_0"]
+    for i in range(n_layers):
+        block = tcn[f"TemporalBlock_{i}"]
+        _inv_weightnorm_conv(block["WeightNormConv1d_0"], sd,
+                             f"{prefix}tcn.network.{i}.conv1")
+        _inv_weightnorm_conv(block["WeightNormConv1d_1"], sd,
+                             f"{prefix}tcn.network.{i}.conv2")
+        if "Conv_0" in block:
+            _inv_conv1d(block["Conv_0"], sd,
+                        f"{prefix}tcn.network.{i}.downsample")
+    _inv_linear(params["Dense_0"], sd, f"{prefix}decoder")
+    return sd
+
+
+def export_generator(params: dict, n_layers: int) -> dict:
+    """Inverse of convert_generator (HierarchicalPoseGenerator ->
+    hierarchy_net.py:55-149 gen_dict)."""
+    sd = export_text_encoder(params["TextEncoderTCN_0"], n_layers,
+                             prefix="text_encoder.")
+    _inv_gru(params["GRU_0"], sd, "gru", n_layers)
+    _inv_dense(params["Dense_0"], sd, "out.0")
+    _inv_dense(params["Dense_1"], sd, "out.2")
+    if "SpeakerZ_0" in params:
+        z = params["SpeakerZ_0"]
+        sd["speaker_embedding.0.weight"] = _t(z["embedding"])
+        _inv_dense(z["Dense_0"], sd, "speaker_embedding.1")
+        _inv_dense(z["Dense_1"], sd, "speaker_mu")
+        _inv_dense(z["Dense_2"], sd, "speaker_logvar")
+    return sd
+
+
+def export_audio_encoder(params: dict, stats: dict,
+                         layers=(3, 4, 6, 3), prefix: str = "") -> dict:
+    """Inverse of convert_audio_encoder (HierarchicalWavEncoder ->
+    reference audio_dict).  The reference wraps ResNetSE under a
+    `feat_extractor.` attribute (hierarchy_net.py:10-19); pass
+    prefix='feat_extractor.' for checkpoint layout, '' for a bare
+    ResNetSE state dict."""
+    p, s = params["ResNetSE_0"], stats["ResNetSE_0"]
+    sd: dict[str, Any] = {}
+    _inv_conv2d(p["Conv2d_0"]["Conv_0"], sd, f"{prefix}conv1")
+    _inv_bn(p["BatchNorm_0"], s["BatchNorm_0"], sd, f"{prefix}bn1")
+
+    block_idx = 0
+    for stage, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            key = f"{prefix}layer{stage + 1}.{b}"
+            bp = p[f"SEBasicBlock_{block_idx}"]
+            bs = s[f"SEBasicBlock_{block_idx}"]
+            _inv_conv2d(bp["Conv2d_0"]["Conv_0"], sd, f"{key}.conv1")
+            _inv_bn(bp["BatchNorm_0"], bs["BatchNorm_0"], sd, f"{key}.bn1")
+            _inv_conv2d(bp["Conv2d_1"]["Conv_0"], sd, f"{key}.conv2")
+            _inv_bn(bp["BatchNorm_1"], bs["BatchNorm_1"], sd, f"{key}.bn2")
+            _inv_dense(bp["SELayer_0"]["Dense_0"], sd, f"{key}.se.fc.0")
+            _inv_dense(bp["SELayer_0"]["Dense_1"], sd, f"{key}.se.fc.2")
+            if "Conv2d_2" in bp:
+                _inv_conv2d(bp["Conv2d_2"]["Conv_0"], sd,
+                            f"{key}.downsample.0")
+                _inv_bn(bp["BatchNorm_2"], bs["BatchNorm_2"], sd,
+                        f"{key}.downsample.1")
+            block_idx += 1
+
+    for i, name in enumerate(("low", "mid", "high")):
+        _inv_conv2d(p[f"Conv2d_{i + 1}"]["Conv_0"], sd,
+                    f"{prefix}conv_{name}")
+        _inv_bn(p[f"BatchNorm_{i + 1}"], s[f"BatchNorm_{i + 1}"], sd,
+                f"{prefix}bn_{name}")
+        _inv_dense(p[f"Dense_{i}"], sd, f"{prefix}fc_{name}")
+
+    if "speaker_embedding" in p:
+        sd[f"{prefix}speaker_embedding.0.weight"] = _t(
+            p["speaker_embedding"])
+        _inv_dense(p["Dense_3"], sd, f"{prefix}speaker_embedding.1")
+        _inv_dense(p["Dense_4"], sd, f"{prefix}fc1")
+        _inv_dense(p["Dense_5"], sd, f"{prefix}fc2")
+    return sd
+
+
+def export_discriminator(params: dict, stats: dict) -> dict:
+    """Inverse of convert_discriminator (ConvDiscriminator ->
+    hierarchy_net.py:197-242 dis_dict)."""
+    sd: dict[str, Any] = {}
+    _inv_conv1d(params["Conv1d_0"]["Conv_0"], sd, "pre_conv.0")
+    _inv_bn(params["BatchNorm_0"], stats["BatchNorm_0"], sd, "pre_conv.1")
+    _inv_conv1d(params["Conv1d_1"]["Conv_0"], sd, "pre_conv.3")
+    _inv_bn(params["BatchNorm_1"], stats["BatchNorm_1"], sd, "pre_conv.4")
+    _inv_conv1d(params["Conv1d_2"]["Conv_0"], sd, "pre_conv.6")
+    _inv_gru(params["GRU_0"], sd, "gru", 4)
+    _inv_dense(params["Dense_0"], sd, "out")
+    _inv_dense(params["Dense_1"], sd, "out2")
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Full checkpoint export
+# ---------------------------------------------------------------------------
+
+def _vocab_namespace(vocab) -> types.SimpleNamespace | None:
+    """Duck-type of the reference model.vocab.Vocab — the attributes its
+    synthesize/train code touches (vocab.py:8-84)."""
+    if vocab is None:
+        return None
+    return types.SimpleNamespace(
+        name=vocab.name,
+        word2index=dict(vocab.word2index),
+        word2count=dict(getattr(vocab, "word2count", {})),
+        index2word=dict(vocab.index2word),
+        n_words=vocab.n_words,
+        word_embedding_weights=(
+            None if vocab.word_embedding_weights is None
+            else np.asarray(vocab.word_embedding_weights)))
+
+
+def _args_namespace(cfg) -> types.SimpleNamespace:
+    """cfg -> reference-style args Namespace (field names already mirror
+    parse_args.py; config_from_reference_args inverts this)."""
+    import dataclasses
+    d = dataclasses.asdict(cfg)
+    for k in ("train_data_path", "val_data_path", "test_data_path"):
+        if isinstance(d.get(k), str):
+            d[k] = [d[k]]     # the reference stores these as lists
+    return types.SimpleNamespace(**d)
+
+
+def export_hierarchy_checkpoint(state, cfg, lang=None, speaker=None,
+                                epoch: int = 0) -> dict:
+    """HierarchyState -> the reference's checkpoint dict
+    (train.py:232-243 / train_expressive.py:298-304 layout)."""
+    import jax
+
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    n_layers = cfg.n_layers
+    ckpt: dict[str, Any] = {
+        "args": _args_namespace(cfg),
+        "epoch": int(epoch),
+        "lang_model": _vocab_namespace(lang),
+        "speaker_model": _vocab_namespace(speaker),
+        "pose_dim": int(cfg.pose_dim),
+        "audio_dict": export_audio_encoder(params["audio"], stats["audio"],
+                                           prefix="feat_extractor."),
+        "text_dict": export_text_encoder(params["text"], n_layers),
+        "dis_dict": export_discriminator(params["dis"], stats["dis"]),
+    }
+    for l, gen_params in enumerate(params["gens"]):
+        ckpt[f"gen_dict_{l + 1}"] = export_generator(gen_params, n_layers)
+    return ckpt
+
+
+def save_reference_checkpoint(path: str, state, cfg, lang=None,
+                              speaker=None, epoch: int = 0) -> None:
+    """torch.save an exported checkpoint (loadable by the reference's
+    load_checkpoint_hierarchy with only torch + numpy installed)."""
+    ckpt = export_hierarchy_checkpoint(state, cfg, lang, speaker, epoch)
+    _torch().save(ckpt, path)
