@@ -371,13 +371,20 @@ def cmd_export_checkpoint(argv):
     p.add_argument("out_bin", help="output torch .bin path")
     a = p.parse_args(argv)
     cfg, lang, speaker, system, state = _load_checkpoint_system(a.checkpoint)
-    if cfg.model != "hierarchy":
-        print(f"export-checkpoint currently covers the hierarchy family "
+    if cfg.model == "hierarchy":
+        save_reference_checkpoint(a.out_bin, state, cfg, lang, speaker)
+        print(f"wrote {a.out_bin} (reference train.py:232-243 layout, "
+              f"{cfg.skeleton.n_levels} gen_dicts)")
+    elif cfg.model == "gesture_autoencoder":
+        import torch
+        from ha2g_tpu.export_torch import export_evalnet_checkpoint
+        torch.save(export_evalnet_checkpoint(state, cfg), a.out_bin)
+        print(f"wrote {a.out_bin} (reference FGD eval-net layout, "
+              f"pose_dim {cfg.pose_dim})")
+    else:
+        print(f"export-checkpoint covers hierarchy + gesture_autoencoder "
               f"(got {cfg.model!r})")
         return 1
-    save_reference_checkpoint(a.out_bin, state, cfg, lang, speaker)
-    print(f"wrote {a.out_bin} (reference train.py:232-243 layout, "
-          f"{cfg.skeleton.n_levels} gen_dicts)")
     return 0
 
 

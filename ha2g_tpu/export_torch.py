@@ -202,6 +202,92 @@ def export_discriminator(params: dict, stats: dict) -> dict:
     return sd
 
 
+def _inv_convT1d(p: dict, sd: dict, key: str) -> None:
+    """Inverse of import_torch._convT1d: flax (k, in, out) with the
+    spatial flip -> torch ConvTranspose1d (in, out, k)."""
+    w = np.asarray(p["kernel"])[::-1].transpose(1, 2, 0)
+    sd[f"{key}.weight"] = _t(np.ascontiguousarray(w))
+    sd[f"{key}.bias"] = _t(p["bias"])
+
+
+def _inv_cnr(p: dict, s: dict, sd: dict, key: str) -> None:
+    """Inverse of import_torch._cnr (ConvNormRelu1d)."""
+    _inv_conv1d(p["Conv1d_0"]["Conv_0"], sd, f"{key}.0")
+    _inv_bn(p["BatchNorm_0"], s["BatchNorm_0"], sd, f"{key}.1")
+
+
+def export_pose_encoder(p: dict, s: dict, sd: dict,
+                        prefix: str = "pose_encoder") -> None:
+    """Inverse of convert_pose_encoder (embedding_net.py:42-82)."""
+    for i in range(3):
+        _inv_cnr(p[f"ConvNormRelu1d_{i}"], s[f"ConvNormRelu1d_{i}"], sd,
+                 f"{prefix}.net.{i}")
+    _inv_conv1d(p["Conv1d_0"]["Conv_0"], sd, f"{prefix}.net.3")
+    _inv_dense(p["Dense_0"], sd, f"{prefix}.out_net.0")
+    _inv_bn(p["BatchNorm_0"], s["BatchNorm_0"], sd, f"{prefix}.out_net.1")
+    _inv_dense(p["Dense_1"], sd, f"{prefix}.out_net.3")
+    _inv_bn(p["BatchNorm_1"], s["BatchNorm_1"], sd, f"{prefix}.out_net.4")
+    _inv_dense(p["Dense_2"], sd, f"{prefix}.out_net.6")
+    if "Dense_3" in p:                 # variational heads
+        _inv_dense(p["Dense_3"], sd, f"{prefix}.fc_mu")
+        _inv_dense(p["Dense_4"], sd, f"{prefix}.fc_logvar")
+
+
+def export_pose_decoder(p: dict, s: dict, sd: dict,
+                        prefix: str = "decoder") -> None:
+    """Inverse of convert_pose_decoder (embedding_net.py:165-217)."""
+    _inv_dense(p["Dense_0"], sd, f"{prefix}.pre_net.0")
+    _inv_bn(p["BatchNorm_0"], s["BatchNorm_0"], sd, f"{prefix}.pre_net.1")
+    _inv_dense(p["Dense_1"], sd, f"{prefix}.pre_net.3")
+    _inv_convT1d(p["ConvTranspose_0"], sd, f"{prefix}.net.0")
+    _inv_bn(p["BatchNorm_1"], s["BatchNorm_1"], sd, f"{prefix}.net.1")
+    _inv_convT1d(p["ConvTranspose_1"], sd, f"{prefix}.net.3")
+    _inv_bn(p["BatchNorm_2"], s["BatchNorm_2"], sd, f"{prefix}.net.4")
+    _inv_conv1d(p["Conv1d_0"]["Conv_0"], sd, f"{prefix}.net.6")
+    _inv_conv1d(p["Conv1d_1"]["Conv_0"], sd, f"{prefix}.net.7")
+
+
+def export_embedding_net_pose(params: dict, stats: dict) -> dict:
+    """Inverse of convert_embedding_net_pose — the TED Gesture FGD
+    embedder's gen_dict (EmbeddingNet mode='pose')."""
+    sd: dict[str, Any] = {}
+    export_pose_encoder(params["PoseEncoderConv_0"],
+                        stats["PoseEncoderConv_0"], sd, "pose_encoder")
+    export_pose_decoder(params["PoseDecoderConv_0"],
+                        stats["PoseDecoderConv_0"], sd, "decoder")
+    return sd
+
+
+def export_motion_ae(params: dict, stats: dict) -> dict:
+    """Inverse of convert_motion_ae — the TED Expressive FGD embedder's
+    motion_ae dict."""
+    sd: dict[str, Any] = {}
+    export_pose_encoder(params["MotionEncoderConv_0"],
+                        stats["MotionEncoderConv_0"], sd, "encoder")
+    export_pose_decoder(params["MotionDecoderConv_0"],
+                        stats["MotionDecoderConv_0"], sd, "decoder")
+    return sd
+
+
+def export_evalnet_checkpoint(state, cfg, epoch: int = 0) -> dict:
+    """FGD eval-net state -> the reference checkpoint layout the
+    EmbeddingSpaceEvaluator expects (embedding_space_evaluator.py:27-34):
+    EmbeddingNet 'gen_dict' for pose_dim 27, MotionAE 'motion_ae' +
+    latent_dim for 126."""
+    import jax
+
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    base = {"args": _args_namespace(cfg), "epoch": int(epoch),
+            "pose_dim": int(cfg.pose_dim)}
+    if cfg.pose_dim == 126:
+        base["motion_ae"] = export_motion_ae(params, stats)
+        base["latent_dim"] = int(getattr(cfg, "latent_dim", 128))
+    else:
+        base["gen_dict"] = export_embedding_net_pose(params, stats)
+    return base
+
+
 # ---------------------------------------------------------------------------
 # Full checkpoint export
 # ---------------------------------------------------------------------------

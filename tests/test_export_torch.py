@@ -161,6 +161,45 @@ def test_strict_load_and_forward_parity():
     np.testing.assert_allclose(np.asarray(got_t), want_t, atol=1e-4)
 
 
+@pytest.mark.parametrize("pose_dim", [27, 126])
+def test_evalnet_export_roundtrip_and_strict_load(pose_dim):
+    """FGD eval-net export: exact round trip through the importers AND a
+    strict load + forward parity against the torch mirrors, for both the
+    EmbeddingNet (27) and MotionAE (126) embedders."""
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.loop import build_system
+
+    dataset = "ted_expressive" if pose_dim == 126 else "ted_gesture"
+    cfg = Config(model="gesture_autoencoder", dataset=dataset,
+                 pose_dim=pose_dim, n_poses=T)
+    system = build_system(cfg, 4, 1)
+    rng = np.random.default_rng(5)
+    batch = {"target": jnp.asarray(
+        rng.normal(size=(B, T, pose_dim)).astype(np.float32) * 0.1)}
+    state = system.init(jax.random.PRNGKey(0), batch)
+    leaf_rng = np.random.default_rng(6)
+    state = state.replace(batch_stats=jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            np.abs(leaf_rng.normal(size=np.shape(x))) + 0.5, jnp.float32),
+        jax.device_get(state.batch_stats)))
+
+    ckpt = et.export_evalnet_checkpoint(state, cfg, epoch=4)
+    assert ckpt["pose_dim"] == pose_dim
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+
+    if pose_dim == 126:
+        p2, s2 = it.convert_motion_ae(ckpt["motion_ae"])
+        tnet = tm.TorchMotionAE(pose_dim, latent=ckpt["latent_dim"])
+        tnet.load_state_dict(ckpt["motion_ae"], strict=True)
+    else:
+        p2, s2 = it.convert_embedding_net_pose(ckpt["gen_dict"])
+        tnet = tm.TorchEmbeddingNetPose(pose_dim)
+        tnet.load_state_dict(ckpt["gen_dict"], strict=True)
+    _tree_equal(params, p2)
+    _tree_equal(stats, s2)
+
+
 def test_torch_save_load_without_repo_classes(tmp_path):
     """The saved .bin unpickles with only torch + numpy (args and vocabs
     are SimpleNamespace duck-types, not our classes)."""
