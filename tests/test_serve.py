@@ -215,7 +215,10 @@ def test_stream_batching_coalesces_windows(tiny_checkpoint):
                          max_batch=8, batch_window_ms=20.0,
                          low_latency=False, warm=False,
                          stream_batching=True,
-                         stream_batch_window_ms=120.0)
+                         # generous coalescing window: under full-suite
+                         # load this 1-vCPU host can stagger the three
+                         # feeder threads by hundreds of ms
+                         stream_batch_window_ms=500.0)
     try:
         rng = np.random.default_rng(11)
         clips = [rng.normal(size=3 * SR).astype(np.float32) * 0.1
