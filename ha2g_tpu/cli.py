@@ -382,9 +382,12 @@ def cmd_export_checkpoint(argv):
         print(f"wrote {a.out_bin} (reference FGD eval-net layout, "
               f"pose_dim {cfg.pose_dim})")
     else:
-        print(f"export-checkpoint covers hierarchy + gesture_autoencoder "
-              f"(got {cfg.model!r})")
-        return 1
+        import torch
+        from ha2g_tpu.export_torch import export_generic_checkpoint
+        torch.save(export_generic_checkpoint(state, cfg, lang, speaker),
+                   a.out_bin)
+        print(f"wrote {a.out_bin} (reference generic checkpoint layout, "
+              f"model {cfg.model})")
     return 0
 
 

@@ -269,6 +269,188 @@ def export_motion_ae(params: dict, stats: dict) -> dict:
     return sd
 
 
+def _inv_gru_cell(p: dict, sd: dict, prefix: str, n_layers: int) -> None:
+    """Inverse of import_torch._gru_cell (unidirectional, no dir axis)."""
+    for l in range(n_layers):
+        sd[f"{prefix}.weight_ih_l{l}"] = _t(np.asarray(p[f"w_ih_l{l}"]).T)
+        sd[f"{prefix}.weight_hh_l{l}"] = _t(np.asarray(p[f"w_hh_l{l}"]).T)
+        sd[f"{prefix}.bias_ih_l{l}"] = _t(p[f"b_ih_l{l}"])
+        sd[f"{prefix}.bias_hh_l{l}"] = _t(p[f"b_hh_l{l}"])
+
+
+def export_wav_encoder(p: dict, s: dict, sd: dict,
+                       prefix: str = "audio_encoder") -> None:
+    """Inverse of convert_wav_encoder (raw-waveform WavEncoder,
+    multimodal_context_net.py:9-28)."""
+    for i, slot in enumerate((0, 3, 6, 9)):
+        _inv_conv1d(p[f"Conv1d_{i}"]["Conv_0"], sd,
+                    f"{prefix}.feat_extractor.{slot}")
+    for i, slot in enumerate((1, 4, 7)):
+        _inv_bn(p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"], sd,
+                f"{prefix}.feat_extractor.{slot}")
+
+
+def export_multimodal_generator(params: dict, stats: dict,
+                                n_layers: int) -> dict:
+    """Inverse of convert_multimodal_generator (PoseGenerator,
+    multimodal_context_net.py:64-160)."""
+    sd = export_text_encoder(params["TextEncoderTCN_0"], n_layers,
+                             prefix="text_encoder.")
+    export_wav_encoder(params["WavEncoder_0"], stats["WavEncoder_0"], sd)
+    _inv_gru(params["GRU_0"], sd, "gru", n_layers)
+    _inv_dense(params["Dense_0"], sd, "out.0")
+    _inv_dense(params["Dense_1"], sd, "out.2")
+    if "SpeakerZ_0" in params:
+        z = params["SpeakerZ_0"]
+        sd["speaker_embedding.0.weight"] = _t(z["embedding"])
+        _inv_dense(z["Dense_0"], sd, "speaker_embedding.1")
+        _inv_dense(z["Dense_1"], sd, "speaker_mu")
+        _inv_dense(z["Dense_2"], sd, "speaker_logvar")
+    return sd
+
+
+def export_seq2seq(params: dict, stats: dict, n_layers: int) -> dict:
+    """Inverse of convert_seq2seq (Seq2SeqNet, seq2seq_net.py:219-254)."""
+    sd: dict[str, Any] = {}
+    enc = params["MaskedBiGRUEncoder_0"]
+    sd["encoder.embedding.weight"] = _t(enc["embedding"])
+    _inv_gru({k: v for k, v in enc.items() if k != "embedding"},
+             sd, "encoder.gru", n_layers)
+    pref = "decoder.decoder"
+    dec = params["decoder_step"]
+    _inv_dense(dec["Attn_0"]["Dense_0"], sd, f"{pref}.attn.attn")
+    sd[f"{pref}.attn.v"] = _t(dec["Attn_0"]["v"])
+    _inv_dense(dec["Dense_0"], sd, f"{pref}.pre_linear.0")
+    _inv_bn(dec["BatchNorm_0"], stats["decoder_step"]["BatchNorm_0"], sd,
+            f"{pref}.pre_linear.1")
+    _inv_gru_cell(dec["GRUCell_0"], sd, f"{pref}.gru", n_layers)
+    _inv_dense(dec["Dense_1"], sd, f"{pref}.out")
+    if "speaker_embedding" in dec:
+        sd[f"{pref}.speaker_embedding.weight"] = _t(
+            dec["speaker_embedding"])
+    return sd
+
+
+def _inv_s2g_cnr(p: dict, s: dict, sd: dict, key: str,
+                 is_2d: bool = False) -> None:
+    """Inverse of import_torch._s2g_cnr."""
+    conv = p["Conv_0"]
+    if is_2d:
+        _inv_conv2d(conv, sd, f"{key}.0")
+    else:
+        _inv_conv1d(conv, sd, f"{key}.0")
+    _inv_bn(p["BatchNorm_0"], s["BatchNorm_0"], sd, f"{key}.1")
+
+
+def export_s2g_generator(params: dict, stats: dict) -> dict:
+    """Inverse of convert_s2g_generator (speech2gesture.py:200-231)."""
+    sd: dict[str, Any] = {}
+    ae_p, ae_s = params["AudioEncoder_0"], stats["AudioEncoder_0"]
+    for i in range(8):
+        _inv_s2g_cnr(ae_p[f"ConvNormRelu_{i}"], ae_s[f"ConvNormRelu_{i}"],
+                     sd, f"audio_encoder.first_net.{i}", is_2d=True)
+    for i, key in enumerate(["down1.0", "down1.1", "down2", "down3",
+                             "down4", "down5", "down6"]):
+        _inv_s2g_cnr(ae_p[f"ConvNormRelu_{8 + i}"],
+                     ae_s[f"ConvNormRelu_{8 + i}"], sd,
+                     f"audio_encoder.{key}")
+    for i in range(5):
+        _inv_s2g_cnr(ae_p[f"UnetUp_{i}"]["ConvNormRelu_0"],
+                     ae_s[f"UnetUp_{i}"]["ConvNormRelu_0"], sd,
+                     f"audio_encoder.up{i + 1}.conv")
+    _inv_dense(params["Dense_0"], sd, "pre_pose_encoder.0")
+    _inv_bn(params["BatchNorm_0"], stats["BatchNorm_0"], sd,
+            "pre_pose_encoder.1")
+    _inv_dense(params["Dense_1"], sd, "pre_pose_encoder.3")
+    _inv_conv1d(params["Conv_0"], sd, "final_out")
+    for i in range(4):
+        _inv_s2g_cnr(params[f"ConvNormRelu_{i}"], stats[f"ConvNormRelu_{i}"],
+                     sd, f"decoder.{i}")
+    return sd
+
+
+def export_s2g_discriminator(params: dict, stats: dict) -> dict:
+    """Inverse of convert_s2g_discriminator (speech2gesture.py:234-250)."""
+    sd: dict[str, Any] = {}
+    _inv_conv1d(params["Conv_0"], sd, "net.0")
+    _inv_s2g_cnr(params["ConvNormRelu_0"], stats["ConvNormRelu_0"], sd,
+                 "net.2")
+    _inv_s2g_cnr(params["ConvNormRelu_1"], stats["ConvNormRelu_1"], sd,
+                 "net.3")
+    _inv_conv1d(params["Conv_1"], sd, "net.4")
+    return sd
+
+
+def export_embedding_net_full(params: dict, stats: dict,
+                              tcn_layers: int = 4) -> dict:
+    """Inverse of convert_embedding_net_full (joint_embedding gen_dict:
+    ContextEncoder + PoseEncoderConv + PoseDecoderGRU,
+    embedding_net.py:260-294)."""
+    sd: dict[str, Any] = {}
+    ctx, ctx_s = params["ContextEncoder_0"], stats["ContextEncoder_0"]
+    sd.update(export_text_encoder(ctx["TextEncoderTCN_0"], tcn_layers,
+                                  prefix="context_encoder.text_encoder."))
+    export_wav_encoder(ctx["WavEncoder_0"], ctx_s["WavEncoder_0"], sd,
+                       prefix="context_encoder.audio_encoder")
+    _inv_gru(ctx["GRU_0"], sd, "context_encoder.gru", 2,
+             bidirectional=False)
+    _inv_dense(ctx["Dense_0"], sd, "context_encoder.out.0")
+    _inv_bn(ctx["BatchNorm_0"], ctx_s["BatchNorm_0"], sd,
+            "context_encoder.out.1")
+    _inv_dense(ctx["Dense_1"], sd, "context_encoder.out.3")
+    _inv_dense(ctx["Dense_2"], sd, "context_encoder.fc_mu")
+    _inv_dense(ctx["Dense_3"], sd, "context_encoder.fc_logvar")
+    export_pose_encoder(params["PoseEncoderConv_0"],
+                        stats["PoseEncoderConv_0"], sd, "pose_encoder")
+    dec, dec_s = params["PoseDecoderGRU_0"], stats["PoseDecoderGRU_0"]
+    _inv_dense(dec["Dense_0"], sd, "decoder.pre_pose_net.0")
+    _inv_bn(dec["BatchNorm_0"], dec_s["BatchNorm_0"], sd,
+            "decoder.pre_pose_net.1")
+    _inv_dense(dec["Dense_1"], sd, "decoder.pre_pose_net.3")
+    _inv_gru(dec["GRU_0"], sd, "decoder.gru", 4)
+    _inv_dense(dec["Dense_2"], sd, "decoder.out.0")
+    _inv_dense(dec["Dense_3"], sd, "decoder.out.2")
+    return sd
+
+
+def export_generic_checkpoint(state, cfg, lang=None, speaker=None,
+                              epoch: int = 0) -> dict:
+    """Inverse of import_torch.import_generic_checkpoint: native state ->
+    the reference's generic checkpoint dict ({args, epoch, lang_model,
+    speaker_model, pose_dim, gen_dict[, dis_dict]}, train.py:239-244) for
+    multimodal_context / seq2seq / speech2gesture / joint_embedding."""
+    import jax
+
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    ckpt: dict[str, Any] = {
+        "args": _args_namespace(cfg), "epoch": int(epoch),
+        "lang_model": _vocab_namespace(lang),
+        "speaker_model": _vocab_namespace(speaker),
+        "pose_dim": int(cfg.pose_dim),
+    }
+    model = cfg.model
+    if model == "multimodal_context":
+        ckpt["gen_dict"] = export_multimodal_generator(
+            params["gen"], stats["gen"], cfg.n_layers)
+        ckpt["dis_dict"] = export_discriminator(params["dis"],
+                                                stats["dis"])
+    elif model == "seq2seq":
+        ckpt["gen_dict"] = export_seq2seq(params, stats, cfg.n_layers)
+    elif model == "speech2gesture":
+        ckpt["gen_dict"] = export_s2g_generator(params["gen"],
+                                                stats["gen"])
+        ckpt["dis_dict"] = export_s2g_discriminator(params["dis"],
+                                                    stats["dis"])
+    elif model == "joint_embedding":
+        ckpt["gen_dict"] = export_embedding_net_full(params, stats)
+    else:
+        raise ValueError(f"no generic exporter for model {model!r} "
+                         "(hierarchy: export_hierarchy_checkpoint; "
+                         "gesture_autoencoder: export_evalnet_checkpoint)")
+    return ckpt
+
+
 def export_evalnet_checkpoint(state, cfg, epoch: int = 0) -> dict:
     """FGD eval-net state -> the reference checkpoint layout the
     EmbeddingSpaceEvaluator expects (embedding_space_evaluator.py:27-34):

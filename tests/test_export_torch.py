@@ -200,6 +200,57 @@ def test_evalnet_export_roundtrip_and_strict_load(pose_dim):
     _tree_equal(stats, s2)
 
 
+def _sd_equal(exported: dict, want: dict, skip_suffix=("num_batches_tracked",)):
+    """Exported state dict == the original torch module's, tensor-exact.
+    export(import(x)) == x proves key names, shapes, and every layout
+    transform (transposes, GRU stacking, weight-norm v/g, conv flips)
+    invert losslessly."""
+    want = {k: v for k, v in want.items()
+            if not k.endswith(skip_suffix)}
+    got = {k: v for k, v in exported.items()
+           if not k.endswith(skip_suffix)}
+    assert set(got.keys()) == set(want.keys()), (
+        sorted(set(want) - set(got)), sorted(set(got) - set(want)))
+    for k, v in want.items():
+        np.testing.assert_array_equal(got[k].numpy(), v.detach().numpy(),
+                                      err_msg=k)
+
+
+def test_export_inverts_import_all_generic_families():
+    """For every generic family: torch mirror -> import converters ->
+    export converters reproduces the mirror's own state dict exactly."""
+    torch.manual_seed(20)
+
+    # multimodal_context generator + its GRU discriminator-free dis
+    tg = tm.TorchMultimodalGenerator(27, N_WORDS, N_SPK, HID, NL)
+    p, s = it.convert_multimodal_generator(tg.state_dict(), NL)
+    _sd_equal(et.export_multimodal_generator(p, s, NL), tg.state_dict())
+
+    td = tm.TorchConvDiscriminator(27)
+    p, s = it.convert_discriminator(td.state_dict())
+    _sd_equal(et.export_discriminator(p, s), td.state_dict())
+
+    # seq2seq
+    ts = tm.TorchSeq2SeqNet(27, T, N_WORDS, 300, HID, NL, n_pre_poses=4,
+                            n_speakers=N_SPK)
+    p, s = it.convert_seq2seq(ts.state_dict(), NL)
+    _sd_equal(et.export_seq2seq(p, s, NL), ts.state_dict())
+
+    # speech2gesture
+    tsg = tm.TorchS2GGenerator(T, 27, 4)
+    p, s = it.convert_s2g_generator(tsg.state_dict())
+    _sd_equal(et.export_s2g_generator(p, s), tsg.state_dict())
+    tsd = tm.TorchS2GDiscriminator(27)
+    p, s = it.convert_s2g_discriminator(tsd.state_dict())
+    _sd_equal(et.export_s2g_discriminator(p, s), tsd.state_dict())
+
+    # joint_embedding
+    tj = tm.TorchEmbeddingNetFull(27, T, N_WORDS, 300, hidden=300,
+                                  n_layers=4)
+    p, s = it.convert_embedding_net_full(tj.state_dict())
+    _sd_equal(et.export_embedding_net_full(p, s), tj.state_dict())
+
+
 def test_torch_save_load_without_repo_classes(tmp_path):
     """The saved .bin unpickles with only torch + numpy (args and vocabs
     are SimpleNamespace duck-types, not our classes)."""
