@@ -513,11 +513,15 @@ class MotionAESystem:
                 l1 += jnp.sum(jnp.mean(jnp.abs(r_diff - t_diff), axis=(1, 2)))
                 rr = recon.reshape(recon.shape[0], recon.shape[1], -1, 3)
                 tt = target.reshape(target.shape[0], target.shape[1], -1, 3)
+                # torch.cosine_similarity semantics: dot / max(|a||b|, eps)
                 cos = 1.0 - (jnp.sum(rr * tt, -1) /
-                             (jnp.linalg.norm(rr, axis=-1) *
-                              jnp.linalg.norm(tt, axis=-1) + 1e-8))
-                cos_loss = jnp.sum(cos) * cfg.cos_loss_weight / \
-                    (recon.shape[1] * rr.shape[2])
+                             jnp.maximum(jnp.linalg.norm(rr, axis=-1) *
+                                         jnp.linalg.norm(tt, axis=-1), 1e-8))
+                # plain SUM over (B, T, bones) like the reference
+                # (train_feature_extractor_expressive.py:141-143) — no
+                # normalization; cos_loss_weight (0.001) is tuned for this
+                # scale
+                cos_loss = jnp.sum(cos) * cfg.cos_loss_weight
                 return l1 + cos_loss, (l1, upd["batch_stats"])
 
             (loss, (l1, new_bs)), grads = jax.value_and_grad(

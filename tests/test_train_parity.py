@@ -836,6 +836,221 @@ def test_hierarchy_multistep_adam_trajectory_parity():
 
 
 # ---------------------------------------------------------------------------
+# remaining families: seq2seq / speech2gesture / joint-embed / motion-AE
+# ---------------------------------------------------------------------------
+
+def test_seq2seq_one_step_parity():
+    """train_iter_seq2seq (train_seq2seq.py:6-51): custom loss (weighted
+    MSE + continuity + motion-variance bonus), grad-clip 5, one step."""
+    torch.manual_seed(21)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.baselines import Seq2SeqSystem
+
+    cfg = Config(model="seq2seq", pose_dim=POSE_DIM, n_poses=T,
+                 hidden_size=HID, n_layers=NL, dropout_prob=0.0,
+                 loss_regression_weight=500.0, loss_kld_weight=0.1,
+                 loss_reg_weight=0.01)
+    tnet = tm.TorchSeq2SeqNet(POSE_DIM, T, N_WORDS, 300, HID, NL,
+                              n_pre_poses=4, n_speakers=0).train()
+    rng = np.random.default_rng(21)
+    tokens = rng.integers(1, N_WORDS, (B, 12))
+    lengths = np.array([12, 10, 9, 7])
+    for b, ln in enumerate(lengths):
+        tokens[b, ln:] = 0
+    batch = {"word_seq": jnp.asarray(tokens),
+             "word_lengths": jnp.asarray(lengths),
+             "target": jnp.asarray(
+                 rng.normal(size=(B, T, POSE_DIM)).astype(np.float32) * .2),
+             "vids": jnp.zeros((B,), jnp.int32)}
+
+    system = Seq2SeqSystem(cfg, n_words=N_WORDS)
+    system.tx = optax.chain(optax.clip_by_global_norm(5.0), optax.sgd(LR))
+    state = system.init(jax.random.PRNGKey(0), batch)
+    params, stats = it.convert_seq2seq(tnet.state_dict(), NL)
+    state = state.replace(params=params, batch_stats=stats)
+    new_state, metrics = system.make_train_step()(
+        state, batch, jax.random.PRNGKey(5))
+
+    # torch side: the reference iteration
+    opt = torch.optim.SGD(tnet.parameters(), lr=LR)
+    opt.zero_grad()
+    tt = torch.from_numpy(np.asarray(batch["target"]))
+    outputs = tnet(torch.from_numpy(tokens), torch.from_numpy(lengths),
+                   tt, None)
+    n_el = outputs.numel()
+    mse = F.mse_loss(outputs, tt) * cfg.loss_regression_weight
+    diff = [torch.abs(outputs[:, n] - outputs[:, n - 1])
+            for n in range(1, outputs.shape[1])]
+    cont = torch.sum(torch.stack(diff)) / n_el * cfg.loss_kld_weight
+    var = -torch.sum(torch.norm(outputs, 2, 1)) / n_el * cfg.loss_reg_weight
+    loss = mse + cont + var
+    loss.backward()
+    torch.nn.utils.clip_grad_norm_(tnet.parameters(), 5)
+    opt.step()
+
+    np.testing.assert_allclose(float(metrics["loss"]), loss.item(),
+                               rtol=2e-3, atol=1e-4)
+    want_params, _ = it.convert_seq2seq(tnet.state_dict(), NL)
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            want_params)
+
+
+def test_speech2gesture_one_step_parity():
+    """train_iter_speech2gesture (train_speech2gesture.py:5-37): LS-GAN on
+    (double-differenced — the reference's own quirk) motion, L1 pose loss,
+    D then G, one step each."""
+    torch.manual_seed(22)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.baselines import S2GSystem
+
+    cfg = Config(model="speech2gesture", pose_dim=POSE_DIM, n_poses=T,
+                 loss_regression_weight=500.0, loss_gan_weight=5.0,
+                 learning_rate=LR)
+    tg = tm.TorchS2GGenerator(T, POSE_DIM, 4).train()
+    td = tm.TorchS2GDiscriminator(POSE_DIM).train()
+    rng = np.random.default_rng(22)
+    batch = {"spec": jnp.asarray(
+                 rng.normal(size=(B, 128, 70)).astype(np.float32)),
+             "target": jnp.asarray(
+                 rng.normal(size=(B, T, POSE_DIM)).astype(np.float32) * .2),
+             "vids": jnp.zeros((B,), jnp.int32)}
+
+    system = S2GSystem(cfg)
+    system.g_tx = optax.sgd(LR)
+    system.d_tx = optax.sgd(LR * cfg.discriminator_lr_weight)
+    state = system.init(jax.random.PRNGKey(0), batch)
+    gp, gs = it.convert_s2g_generator(tg.state_dict())
+    dp, ds = it.convert_s2g_discriminator(td.state_dict())
+    state = state.replace(params={"gen": gp, "dis": dp},
+                          batch_stats={"gen": gs, "dis": ds})
+    new_state, metrics = system.make_train_step()(
+        state, batch, jax.random.PRNGKey(6))
+
+    g_opt = torch.optim.SGD(tg.parameters(), lr=LR)
+    d_opt = torch.optim.SGD(td.parameters(),
+                            lr=LR * cfg.discriminator_lr_weight)
+    tt = torch.from_numpy(np.asarray(batch["target"]))
+    spec = torch.from_numpy(np.asarray(batch["spec"]))
+    pre = tt[:, :4]
+    out = tg(spec, pre)
+    target_motion = tt[:, 1:] - tt[:, :-1]
+    out_motion = out[:, 1:] - out[:, :-1]
+    d_opt.zero_grad()
+    d_real = td(target_motion)
+    d_fake = td(out_motion.detach())
+    dis_error = F.mse_loss(torch.ones_like(d_real), d_real) + \
+        F.mse_loss(torch.zeros_like(d_fake), d_fake)
+    dis_error.backward()
+    d_opt.step()
+    g_opt.zero_grad()
+    l1 = F.l1_loss(out, tt)
+    d_out = td(out_motion)
+    gen_error = F.mse_loss(torch.ones_like(d_out), d_out)
+    (cfg.loss_regression_weight * l1 +
+     cfg.loss_gan_weight * gen_error).backward()
+    g_opt.step()
+
+    np.testing.assert_allclose(float(metrics["dis"]), dis_error.item(),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               cfg.loss_regression_weight * l1.item(),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(float(metrics["gen"]),
+                               cfg.loss_gan_weight * gen_error.item(),
+                               rtol=2e-3, atol=1e-4)
+    wg, _ = it.convert_s2g_generator(tg.state_dict())
+    wd, _ = it.convert_s2g_discriminator(td.state_dict())
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            {"gen": wg, "dis": wd})
+
+
+def test_gesture_autoencoder_one_step_parity():
+    """train_iter_embed (train_joint_embed.py:5-52, mode='pose',
+    variational off): per-sample-mean-then-SUM L1 recon loss."""
+    torch.manual_seed(23)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.baselines import EmbedSystem
+
+    cfg = Config(model="gesture_autoencoder", pose_dim=POSE_DIM, n_poses=T,
+                 learning_rate=LR)
+    tnet = tm.TorchEmbeddingNetPose(POSE_DIM).train()
+    rng = np.random.default_rng(23)
+    batch = {"target": jnp.asarray(
+                 rng.normal(size=(B, T, POSE_DIM)).astype(np.float32) * .2),
+             "vids": jnp.zeros((B,), jnp.int32)}
+
+    system = EmbedSystem(cfg)
+    system.tx = optax.sgd(LR)
+    state = system.init(jax.random.PRNGKey(0), batch)
+    p, s = it.convert_embedding_net_pose(tnet.state_dict())
+    state = state.replace(params=p, batch_stats=s)
+    new_state, metrics = system.make_train_step()(
+        state, batch, jax.random.PRNGKey(7))
+
+    opt = torch.optim.SGD(tnet.parameters(), lr=LR)
+    opt.zero_grad()
+    tt = torch.from_numpy(np.asarray(batch["target"]))
+    recon, _ = tnet(tt)
+    recon_loss = torch.sum(torch.mean(
+        F.l1_loss(recon, tt, reduction="none"), dim=(1, 2)))
+    recon_loss.backward()
+    opt.step()
+
+    np.testing.assert_allclose(float(metrics["loss"]), recon_loss.item(),
+                               rtol=2e-3, atol=1e-4)
+    want, _ = it.convert_embedding_net_pose(tnet.state_dict())
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            want)
+
+
+def test_motion_ae_one_step_parity():
+    """train_feature_extractor_expressive.py:120-148: L1 + pose-diff L1
+    (per-sample mean then sum) + cos_loss_weight * SUM(1 - cos)."""
+    torch.manual_seed(24)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.baselines import MotionAESystem
+
+    cfg = Config(model="gesture_autoencoder", dataset="ted_expressive",
+                 pose_dim=126, n_poses=T, latent_dim=128,
+                 cos_loss_weight=0.001, learning_rate=LR)
+    tnet = tm.TorchMotionAE(126, 128).train()
+    rng = np.random.default_rng(24)
+    batch = {"target": jnp.asarray(
+                 rng.normal(size=(B, T, 126)).astype(np.float32) * .2),
+             "vids": jnp.zeros((B,), jnp.int32)}
+
+    system = MotionAESystem(cfg)
+    system.tx = optax.inject_hyperparams(optax.sgd)(learning_rate=LR)
+    state = system.init(jax.random.PRNGKey(0), batch)
+    p, s = it.convert_motion_ae(tnet.state_dict())
+    state = state.replace(params=p, batch_stats=s)
+    new_state, metrics = system.make_train_step()(
+        state, batch, jax.random.PRNGKey(8), LR)
+
+    opt = torch.optim.SGD(tnet.parameters(), lr=LR)
+    opt.zero_grad()
+    tt = torch.from_numpy(np.asarray(batch["target"]))
+    pred, _ = tnet(tt)
+    rl = torch.mean(F.l1_loss(pred, tt, reduction="none"), dim=(1, 2))
+    rl = rl + torch.mean(F.l1_loss(pred[:, 1:] - pred[:, :-1],
+                                   tt[:, 1:] - tt[:, :-1],
+                                   reduction="none"), dim=(1, 2))
+    rl = torch.sum(rl)
+    cos = torch.sum(1 - torch.cosine_similarity(
+        pred.view(pred.shape[0], pred.shape[1], -1, 3),
+        tt.view(tt.shape[0], tt.shape[1], -1, 3), dim=-1))
+    loss = cfg.cos_loss_weight * cos + rl
+    loss.backward()
+    opt.step()
+
+    np.testing.assert_allclose(float(metrics["loss"]), loss.item(),
+                               rtol=2e-3, atol=1e-4)
+    want, _ = it.convert_motion_ae(tnet.state_dict())
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            want)
+
+
+# ---------------------------------------------------------------------------
 # multimodal-context (train_iter_gan) tests
 # ---------------------------------------------------------------------------
 
