@@ -64,6 +64,9 @@ def _prepare(cfg):
 
     if cfg.train_data_path.endswith(".npz"):
         # H36M feature-extractor path (reference train_feature_extractor.py)
+        # — its train_iter adds the pose-diff L1 term train_iter_embed
+        # lacks (train_feature_extractor.py:68-71 vs train_joint_embed.py:29)
+        cfg.embed_pose_diff_loss = True
         lang = Vocab("words")
         speaker = Vocab("vid", insert_default_tokens=False)
         lang.random_word_vectors(cfg.wordembed_dim)

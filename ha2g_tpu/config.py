@@ -91,6 +91,11 @@ class Config:
     # save optimizer state for mid-training resume (capability superset of the
     # reference, which has no resume path; SURVEY.md section 5.4)
     save_optimizer_state: bool = True
+    # pose-diff L1 term in the embedding-AE recon loss: the reference's
+    # H36M feature-extractor trainer adds it (`if True`,
+    # train_feature_extractor.py:68-71) while train_iter_embed does not
+    # (`if False`, train_joint_embed.py:29); auto-set on the H36M path
+    embed_pose_diff_loss: bool = False
     # reproduce the reference's off-by-one expressive pre-seq head fill
     # (skeleton.py::SkeletonSpec.ref_routing_compat) — set automatically when
     # importing reference-trained expressive hierarchy checkpoints, whose

@@ -117,8 +117,15 @@ class EmbedSystem:
                           "noise": jax.random.fold_in(rng, 1)})
                 *_, recon = out
                 # per-sample mean, then SUM over batch (train_joint_embed.py:27)
-                recon_loss = jnp.sum(jnp.mean(
-                    jnp.abs(recon - batch["target"]), axis=(1, 2)))
+                target = batch["target"]
+                per = jnp.mean(jnp.abs(recon - target), axis=(1, 2))
+                if self.cfg.embed_pose_diff_loss:
+                    # the H36M feature-extractor trainer's extra term
+                    # (train_feature_extractor.py:68-71)
+                    per += jnp.mean(jnp.abs(
+                        (recon[:, 1:] - recon[:, :-1]) -
+                        (target[:, 1:] - target[:, :-1])), axis=(1, 2))
+                recon_loss = jnp.sum(per)
                 return recon_loss, updates["batch_stats"]
 
             (loss, new_bs), grads = jax.value_and_grad(

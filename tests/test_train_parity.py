@@ -1003,6 +1003,50 @@ def test_gesture_autoencoder_one_step_parity():
                             want)
 
 
+def test_h36m_extractor_one_step_parity():
+    """train_feature_extractor.py:54-97 (the H36M FGD-embedder trainer):
+    same as train_iter_embed PLUS the pose-diff L1 term its `if True`
+    branch enables (vs train_iter_embed's `if False`) — gated here by
+    Config.embed_pose_diff_loss, auto-set on the H36M data path."""
+    torch.manual_seed(25)
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.baselines import EmbedSystem
+
+    cfg = Config(model="gesture_autoencoder", pose_dim=POSE_DIM, n_poses=T,
+                 learning_rate=LR, embed_pose_diff_loss=True)
+    tnet = tm.TorchEmbeddingNetPose(POSE_DIM).train()
+    rng = np.random.default_rng(25)
+    batch = {"target": jnp.asarray(
+                 rng.normal(size=(B, T, POSE_DIM)).astype(np.float32) * .2),
+             "vids": jnp.zeros((B,), jnp.int32)}
+
+    system = EmbedSystem(cfg)
+    system.tx = optax.sgd(LR)
+    state = system.init(jax.random.PRNGKey(0), batch)
+    p, s = it.convert_embedding_net_pose(tnet.state_dict())
+    state = state.replace(params=p, batch_stats=s)
+    new_state, metrics = system.make_train_step()(
+        state, batch, jax.random.PRNGKey(9))
+
+    opt = torch.optim.SGD(tnet.parameters(), lr=LR)
+    opt.zero_grad()
+    tt = torch.from_numpy(np.asarray(batch["target"]))
+    recon, _ = tnet(tt)
+    rl = torch.mean(F.l1_loss(recon, tt, reduction="none"), dim=(1, 2))
+    rl = rl + torch.mean(F.l1_loss(recon[:, 1:] - recon[:, :-1],
+                                   tt[:, 1:] - tt[:, :-1],
+                                   reduction="none"), dim=(1, 2))
+    rl = torch.sum(rl)
+    rl.backward()
+    opt.step()
+
+    np.testing.assert_allclose(float(metrics["loss"]), rl.item(),
+                               rtol=2e-3, atol=1e-4)
+    want, _ = it.convert_embedding_net_pose(tnet.state_dict())
+    _assert_grad_tree_close(new_state.params, jax.device_get(state.params),
+                            want)
+
+
 def test_motion_ae_one_step_parity():
     """train_feature_extractor_expressive.py:120-148: L1 + pose-diff L1
     (per-sample mean then sum) + cos_loss_weight * SUM(1 - cos)."""
