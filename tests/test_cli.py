@@ -45,6 +45,39 @@ def trained_checkpoint(tmp_path_factory):
     return ckpt
 
 
+def test_cli_train_h36m_feature_extractor(tmp_path):
+    """The H36M FGD-embedder path end to end (reference
+    train_feature_extractor.py): a fabricated h36m npz -> cli train
+    (gesture_autoencoder) -> checkpoints, with the extractor's pose-diff
+    recon term auto-enabled (config.embed_pose_diff_loss) and recorded in
+    the self-describing checkpoint."""
+    import json as _json
+
+    rng = np.random.default_rng(2)
+    positions = {"S1": {"Walking": rng.normal(size=(700, 32, 3)).astype(
+        np.float32)}, "S11": {"Eating": rng.normal(
+            size=(500, 32, 3)).astype(np.float32)}}
+    np.savez(tmp_path / "h36m.npz",
+             positions_3d=np.array(positions, dtype=object))
+    cfg_path = tmp_path / "h36m.yaml"
+    cfg_path.write_text("\n".join([
+        "model: gesture_autoencoder",
+        "dataset: ted_gesture",
+        "name: h36m_ae",
+        f"train_data_path: {tmp_path / 'h36m.npz'}",
+        f"model_save_path: {tmp_path / 'out'}",
+        "epochs: 1",
+        "batch_size: 8",   # divisible by the virtual 8-device test mesh
+        "loader_workers: 0",
+    ]))
+    rc = cli.cmd_train(["--config", str(cfg_path)])
+    assert rc == 0
+    ckpt = tmp_path / "out" / "checkpoint_final"
+    assert ckpt.exists()
+    saved = _json.loads((ckpt / "config.json").read_text())
+    assert saved["config"]["embed_pose_diff_loss"] is True
+
+
 def _write_wav(path: Path, seconds: float = 3.0, sr: int = 16000):
     t = np.arange(int(seconds * sr)) / sr
     sig = (0.3 * np.sin(2 * np.pi * 220 * t) *
