@@ -104,6 +104,64 @@ def test_polyfit_smooth_preserves_shape():
     assert np.isfinite(out).all()
 
 
+def test_polyfit_smooth_matches_reference_math():
+    """polyfit_smooth == a literal transcription of the reference's
+    seq2seq spline-interp block (synthesize.py:163-185)."""
+    cfg = Config(pose_dim=27, n_poses=T, n_pre_poses=4)
+    rng = np.random.default_rng(7)
+    num_subdivision = 4
+    total = T + (num_subdivision - 1) * (T - 4)
+    x_in = rng.normal(size=(total, 27)).astype(np.float32)
+
+    want = x_in.copy()
+    n_smooth = 4
+    for i in range(num_subdivision):
+        start_frame = 4 + i * (T - 4) - n_smooth
+        if start_frame < 0:
+            start_frame = 0
+            end_frame = start_frame + n_smooth * 2
+        else:
+            end_frame = start_frame + n_smooth * 3
+        y = want[start_frame:end_frame]
+        x = np.array(range(0, y.shape[0]))
+        coeffs = np.polyfit(x, y, 3)
+        fit = [np.poly1d(coeffs[:, k]) for k in range(y.shape[1])]
+        want[start_frame:end_frame] = np.transpose(
+            np.asarray([fit[k](x) for k in range(y.shape[1])]))
+
+    got = polyfit_smooth(x_in, cfg)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fade_out_matches_reference_math():
+    """fade_out_to_mean == a literal transcription of the reference's
+    fade-out block (synthesize.py:187-209)."""
+    cfg = Config(pose_dim=27, n_poses=T, n_pre_poses=4)
+    rng = np.random.default_rng(8)
+    x_in = rng.normal(size=(94, 27)).astype(np.float32)
+    end_padding_s = 0.8
+
+    want = x_in.copy()
+    n_smooth = 4
+    start_frame = len(want) - int(end_padding_s * 15)
+    end_frame = start_frame + n_smooth * 2
+    if len(want) < end_frame:
+        want = np.pad(want, [(0, end_frame - len(want)), (0, 0)],
+                      mode="constant")
+    want[end_frame - n_smooth:] = 0.0
+    y = want[start_frame:end_frame]
+    x = np.array(range(0, y.shape[0]))
+    w = np.ones(len(y))
+    w[0] = w[-1] = 5
+    coeffs = np.polyfit(x, y, 2, w=w)
+    fit = [np.poly1d(coeffs[:, k]) for k in range(y.shape[1])]
+    want[start_frame:end_frame] = np.transpose(
+        np.asarray([fit[k](x) for k in range(y.shape[1])]))
+
+    got = fade_out_to_mean(x_in.copy(), cfg, end_padding_s)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_fused_hierarchy_matches_host_loop():
     """The fused lax.scan synthesis path must equal the host window loop."""
     from ha2g_tpu.train.hierarchy import HierarchySystem
