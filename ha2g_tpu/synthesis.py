@@ -367,7 +367,7 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                 "pad_to": int(s0_all.max()) + spec_len}
 
     def run_fused(self, audio: np.ndarray, plan: dict,
-                  chunk: int = 0, out_dtype=None) -> np.ndarray:
+                  chunk: int = 0, out_dtype=None, mesh=None) -> np.ndarray:
         """Device portion of the fused loop: mel front-end, window scan,
         cross-fade, and the device->host pull.  `plan` from prepare_fused.
 
@@ -386,6 +386,12 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
           the device->host pull; the host result is upcast back to
           float32.  Dir-vec components are O(0.1-1), so the f16 rounding
           error (~5e-4 relative) is far below the codec/model noise floor.
+        * mesh: a jax.sharding.Mesh with a 'data' axis — the clip batch
+          shards over it (params replicated), so an N-chip pod synthesizes
+          N x the clips per call with XLA/GSPMD partitioning the whole
+          fused scan.  Partitionable threefry keeps the random draws equal
+          to the single-device run (asserted in tests/test_parallel.py).
+          Batch (and chunk, if used) must divide the mesh size.
 
         Caveat: the speaker-z reparameterization eps is drawn per batch,
         so chunking changes the draw exactly like synthesizing the clips
@@ -399,17 +405,23 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
             return o.astype(jnp.float16) if out_dtype == np.float16 else o
 
         if chunk <= 0 or chunk >= B:
-            out = np.asarray(cast(self._run_fused_one(audio, plan, 0, B)))
+            out = np.asarray(cast(self._run_fused_one(audio, plan, 0, B,
+                                                      mesh)))
             return out.astype(np.float32) if out.dtype != np.float32 else out
         outs = []
         for i in range(0, B, chunk):
             n = min(chunk, B - i)
-            outs.append(cast(self._run_fused_one(audio[i:i + n], plan, i, n)))
+            outs.append(cast(self._run_fused_one(audio[i:i + n], plan, i, n,
+                                                 mesh)))
         # pull in dispatch order; later chunks keep computing meanwhile
         return np.concatenate([np.asarray(o) for o in outs],
                               axis=0).astype(np.float32)
 
-    def _run_fused_one(self, audio, plan, i, n):
+    def _run_fused_one(self, audio, plan, i, n, mesh=None):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            audio = jax.device_put(jnp.asarray(audio),
+                                   NamedSharding(mesh, P("data")))
         full_spec = _mel_any(audio)
         assert full_spec.shape[2] == plan["S_total"], \
             (full_spec.shape, plan["S_total"])
@@ -418,10 +430,14 @@ class HierarchySynthesizer(SlidingWindowSynthesizer):
                 full_spec,
                 ((0, 0), (0, 0), (0, plan["pad_to"] - plan["S_total"])),
                 mode="edge")
-        return self._fused_step(self.state, full_spec,
-                                plan["text_all"][:, i:i + n],
-                                plan["s0_all"], plan["vids"][i:i + n],
-                                plan["rng"],
+        text = plan["text_all"][:, i:i + n]
+        vids = plan["vids"][i:i + n]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            text = jax.device_put(text, NamedSharding(mesh, P(None, "data")))
+            vids = jax.device_put(vids, NamedSharding(mesh, P("data")))
+        return self._fused_step(self.state, full_spec, text,
+                                plan["s0_all"], vids, plan["rng"],
                                 num_sub=plan["num_sub"],
                                 spec_len=plan["spec_len"])
 

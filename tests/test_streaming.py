@@ -163,6 +163,27 @@ def test_stream_expressive_matches_batch():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
 
 
+def test_fused_synthesis_sharded_matches_single(hier_synth):
+    """Multi-chip batch synthesis: run_fused with the clip batch sharded
+    over the virtual 8-device data mesh reproduces the single-device
+    output (partitionable threefry keeps the z draws equal)."""
+    from ha2g_tpu.parallel.mesh import data_mesh
+
+    rng = np.random.default_rng(31)
+    B = 8
+    audio = rng.normal(size=(B, 4 * 16000)).astype(np.float32) * 0.1
+    words = [[(f"w{rng.integers(0, 10)}", float(t), float(t + 0.2))
+              for t in np.arange(0.2, 3.5, 0.4)] for _ in range(B)]
+    vids = rng.integers(0, N_SPK, (B,)).astype(np.int32)
+    lang = _lang()
+
+    plan = hier_synth.prepare_fused(words, lang, vids, audio.shape[1])
+    want = hier_synth.run_fused(audio, plan)
+    got = hier_synth.run_fused(audio, plan, mesh=data_mesh(8))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+
+
 def test_stream_compact_pcm_inputs(hier_synth):
     """int16 and mu-law chunks decode to the same stream as float32."""
     audio, words = _clip(3.0, seed=11)
