@@ -584,8 +584,10 @@ class GestureStream:
       exactly.  (Speech clips hit their peak early in practice; a caller
       with a calibrated deployment can pre-seed ``db_ref``.)
     * words may arrive incrementally (live ASR); a window consumes the
-      words known when its audio completes, so feed a window's words no
-      later than its audio.
+      words known when it runs, and it becomes runnable one spec frame
+      (~32 ms) BEFORE its nominal end time — so deliver a word no later
+      than the audio ~32 ms before its onset.  Transcript-first feeding
+      (the TTS case) trivially satisfies this.
 
     Emission: window 0 yields its first ``n_poses - n_pre_poses`` frames;
     each later window first re-emits the previous window's held-back

@@ -85,6 +85,39 @@ def test_stream_matches_batch_known_total(hier_synth):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
 
 
+def test_stream_random_chunking_fuzz(hier_synth):
+    """Property: ANY chunk partition of the audio (including 1-sample and
+    multi-window chunks, words delivered with their audio) produces the
+    same output as the batch path."""
+    lang = _lang()
+    for seed in (13, 17, 29):
+        rng = np.random.default_rng(seed)
+        seconds = float(rng.uniform(3.0, 7.0))
+        audio, words = _clip(seconds, seed=seed)
+        key = jax.random.PRNGKey(seed)
+        want = hier_synth.generate(audio[None], [words], lang,
+                                   np.asarray([seed % N_SPK], np.int32),
+                                   rng=key)[0]
+        stream = hier_synth.stream(lang, vid=seed % N_SPK,
+                                   total_seconds=seconds, rng=key)
+        # transcript known up front (the TTS case); audio cut anywhere —
+        # a window is runnable one spec frame (~32 ms) before its nominal
+        # end, so words must lead the audio by at least that much (see
+        # GestureStream docstring); delivering them all first is the
+        # simplest conforming schedule
+        stream.feed(words=words)
+        cuts = np.sort(rng.integers(1, len(audio), rng.integers(2, 9)))
+        got, prev = [], 0
+        for c in list(cuts) + [len(audio)]:
+            got.append(stream.feed(audio[prev:c]))
+            prev = c
+        got.append(stream.finish())
+        got = np.concatenate(got, axis=0)
+        assert got.shape == want.shape, seed
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=0,
+                                   err_msg=f"seed {seed}")
+
+
 def test_stream_incremental_latency(hier_synth):
     """Frames become available while audio arrives: after feeding enough
     audio for window 0 (but far less than the clip), the stream has already
