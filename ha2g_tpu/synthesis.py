@@ -730,8 +730,11 @@ class GestureStream:
             if samples.dtype == np.int16:
                 samples = samples.astype(np.float32) / 32768.0
             elif samples.dtype == np.uint8:
-                from ha2g_tpu.ops.mel import mulaw_decode
-                samples = np.asarray(mulaw_decode(jnp.asarray(samples)))
+                # G.711 mu-law, decoded on host: per-chunk device round
+                # trips would cost a ~34 ms tunnel hop each on live feeds
+                y = samples.astype(np.float32) * (2.0 / 255.0) - 1.0
+                samples = np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) \
+                    / 255.0
             self._buf = np.concatenate([self._buf,
                                         samples.astype(np.float32)])
         outs = []
