@@ -166,6 +166,32 @@ def test_stream_short_clip_single_window(hier_synth):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
 
 
+def test_stream_speech2gesture_matches_batch():
+    """GestureStream drives any spec-windowed synthesizer: the
+    speech2gesture U-Net path matches its batch loop too."""
+    from ha2g_tpu.train.baselines import S2GSystem
+    from ha2g_tpu.synthesis import make_synthesizer
+    cfg = Config(model="speech2gesture", pose_dim=27, n_poses=T)
+    sys_ = S2GSystem(cfg)
+    rng = np.random.default_rng(2)
+    batch = {
+        "spec": jnp.asarray(rng.normal(size=(2, 128, 70)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.normal(size=(2, T, 27)).astype(np.float32) * 0.1),
+        "vids": jnp.asarray(rng.integers(0, N_SPK, (2,))),
+    }
+    state = sys_.init(jax.random.PRNGKey(0), batch)
+    synth = make_synthesizer(sys_, state)
+    audio, words = _clip(5.0, seed=15)
+    lang = _lang()
+    want = synth.generate(audio[None], [words], lang,
+                          np.asarray([0], np.int32))[0]
+    st = synth.stream(lang, vid=0, total_seconds=5.0)
+    got = np.concatenate([st.feed(audio, words=words), st.finish()], axis=0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+
+
 def test_stream_expressive_matches_batch():
     """Same equivalence on the TED Expressive 6-level flagship skeleton
     (126-dim poses) — the stream is SkeletonSpec-parameterized."""
