@@ -109,7 +109,16 @@ class Trainer:
             gan_on = epoch > cfg.loss_warmup
             key = ("gan", gan_on)
             if key not in self._steps:
-                self._steps[key] = self.system.make_train_step(gan_on=gan_on)
+                if cfg.model == "hierarchy":
+                    # fit() rebinds state every iteration and eval/ckpt
+                    # read it only between epochs, so the old state's
+                    # buffers can be donated back to XLA (in-place param/
+                    # opt updates instead of a second copy in HBM)
+                    self._steps[key] = self.system.make_train_step(
+                        gan_on=gan_on, donate=True)
+                else:
+                    self._steps[key] = self.system.make_train_step(
+                        gan_on=gan_on)
             return self._steps[key]
         if "plain" not in self._steps:
             self._steps["plain"] = self.system.make_train_step()
