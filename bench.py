@@ -45,7 +45,42 @@ import numpy as np
 REPS = 12
 
 
+def _wait_for_device(max_wait_s: float = 600.0) -> None:
+    """The axon TPU tunnel occasionally drops; a bare `jax.devices()` then
+    HANGS instead of failing.  Probe device init in a SUBPROCESS with a
+    timeout and retry for up to max_wait_s so a transient flake at
+    capture time becomes a bounded wait, and a hard outage becomes a loud
+    nonzero exit instead of a silent hang."""
+    import subprocess
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=90, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] device came up on attempt {attempt}",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _t.time() > deadline:
+            raise RuntimeError(
+                f"TPU device init failed/hung for {max_wait_s:.0f}s "
+                f"({attempt} attempts) — tunnel down?")
+        print(f"[bench] device init attempt {attempt} failed; retrying",
+              file=sys.stderr)
+        _t.sleep(30)
+
+
 def main():
+    _wait_for_device()
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
