@@ -674,6 +674,62 @@ def cmd_build_dataset(argv):
     return 0 if result["videos"] else 1
 
 
+def cmd_doctor(argv):
+    """Install/device self-check: backend + device report, a tiny jitted
+    hierarchy forward, and a mel-front-end check against the independent
+    numpy oracle.  Exit 0 = this install can train and synthesize."""
+    import time as _time
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (skip TPU init)")
+    a = p.parse_args(argv)
+
+    import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    t0 = _time.perf_counter()
+    try:
+        devs = jax.devices()
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL: jax device init: {type(e).__name__}: {e}")
+        return 1
+    print(f"backend: {jax.default_backend()}  devices: {len(devs)} "
+          f"({devs[0].device_kind if devs else '?'})  "
+          f"init {_time.perf_counter() - t0:.1f}s")
+
+    import jax.numpy as jnp
+    from ha2g_tpu.ops.mel import log_mel_np, log_mel_spectrogram
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=16000).astype(np.float32) * 0.1
+    t0 = _time.perf_counter()
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(y)))
+    err = float(np.abs(mel - log_mel_np(y)).max())
+    print(f"mel front-end: {mel.shape}, max |dev - numpy oracle| = "
+          f"{err:.2e} dB ({_time.perf_counter() - t0:.1f}s)")
+    ok = err < 1e-2
+
+    from ha2g_tpu.config import Config
+    from ha2g_tpu.train.hierarchy import HierarchySystem
+    from ha2g_tpu.data.synthetic import default_mean_dir_vec
+    from ha2g_tpu.skeleton import TED_GESTURE
+    cfg = Config(model="hierarchy", pose_dim=27, hidden_size=16, n_layers=1,
+                 mean_dir_vec=list(map(float,
+                                       default_mean_dir_vec(TED_GESTURE))))
+    system = HierarchySystem(cfg, n_words=8, n_speakers=2)
+    batch = _dummy_batch(cfg)
+    t0 = _time.perf_counter()
+    state = system.init(jax.random.PRNGKey(0), batch)
+    new_state, metrics = system.make_train_step(gan_on=True)(
+        state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    print(f"tiny hierarchy GAN step: loss {loss:.3f} "
+          f"(compile+run {_time.perf_counter() - t0:.1f}s)")
+    ok = ok and np.isfinite(loss)
+    print("OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: the flagship train step takes
     minutes to compile on this host; caching makes repeat CLI invocations
@@ -700,6 +756,7 @@ def main():
             "parse-reference-log": cmd_parse_reference_log,
             "compare-trajectory": cmd_compare_trajectory,
             "export-checkpoint": cmd_export_checkpoint,
+            "doctor": cmd_doctor,
             "motion-stats": cmd_motion_stats,
             "angle-stats": cmd_angle_stats,
             "build-dataset": cmd_build_dataset}
