@@ -214,6 +214,27 @@ def mulaw_decode(u8: jnp.ndarray) -> jnp.ndarray:
         / _MULAW_MU
 
 
+def mulaw_decode_np(u8: np.ndarray) -> np.ndarray:
+    """Host-side twin of mulaw_decode (same formula; the ONE place the
+    companding convention lives for host decoders — synthesis host paths
+    and the HTTP front-end both call this)."""
+    y = np.asarray(u8, np.uint8).astype(np.float32) * (2.0 / _MULAW_MU) - 1.0
+    return np.sign(y) * (np.power(1.0 + _MULAW_MU, np.abs(y)) - 1.0) \
+        / _MULAW_MU
+
+
+def pcm_to_float_np(samples: np.ndarray) -> np.ndarray:
+    """Host-side decode of any supported wire sample format to float32:
+    int16 PCM (/32768, the soundfile convention), uint8 G.711 mu-law, or
+    float passthrough."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        return samples.astype(np.float32) / 32768.0
+    if samples.dtype == np.uint8:
+        return mulaw_decode_np(samples)
+    return samples.astype(np.float32)
+
+
 @jax.jit
 def batched_log_mel_mulaw(u8: jnp.ndarray) -> jnp.ndarray:
     """mu-law uint8 PCM variant: one byte per sample over the host->device

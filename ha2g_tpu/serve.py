@@ -108,6 +108,8 @@ class _WindowBatcher:
 
     def run(self, inputs: dict, rng) -> np.ndarray:
         """GestureStream executor hook: blocks until this window ran."""
+        if self._stop.is_set():
+            raise RuntimeError("window batcher closed")
         req = _WindowReq(inputs=inputs, rng=rng)
         self._q.put(req)
         req.done.wait()
@@ -118,6 +120,15 @@ class _WindowBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # error out anything still queued so no caller blocks forever on
+        # a request the dead loop will never run
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except Empty:
+                break
+            req.error = "window batcher closed"
+            req.done.set()
 
     def _loop(self):
         max_b = self.buckets[-1]
@@ -300,13 +311,18 @@ class GestureService:
             return out
 
     def stream_finish(self, stream_id: str) -> np.ndarray:
-        """Flush and close a live stream; returns the final frames."""
-        entry = self._stream_entry(stream_id)
-        with entry["lock"]:
+        """Flush and close a live stream; returns the final frames.
+        The id is claimed (popped) BEFORE flushing so a concurrent retry
+        of finish gets a clean unknown-stream error instead of racing into
+        a second tail emission."""
+        with self._streams_lock:
+            entry = self._streams.pop(stream_id, None)
+        if entry is None:
+            raise KeyError(f"unknown stream {stream_id!r} "
+                           "(finished or idle-expired)")
+        with entry["lock"]:   # waits out any in-flight feed
             out = entry["stream"].finish()
             self.stats["frames"] += int(out.shape[0])
-        with self._streams_lock:
-            self._streams.pop(stream_id, None)
         return out
 
     # --------------------------------------------------------------------
@@ -401,14 +417,13 @@ def _decode_audio(payload, encoding: str = "pcm_f32") -> np.ndarray:
     wire sample format: pcm_f32 (default), pcm_i16 (half the payload), or
     pcm_mulaw (G.711 mu-law bytes, a quarter — telephony callers send
     their native format directly)."""
+    from ha2g_tpu.ops.mel import pcm_to_float_np
     if isinstance(payload, str):
         raw = base64.b64decode(payload)
         if encoding == "pcm_i16":
-            return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            return pcm_to_float_np(np.frombuffer(raw, "<i2"))
         if encoding == "pcm_mulaw":
-            y = np.frombuffer(raw, np.uint8).astype(np.float32) \
-                * (2.0 / 255.0) - 1.0
-            return np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) / 255.0
+            return pcm_to_float_np(np.frombuffer(raw, np.uint8))
         return np.frombuffer(raw, "<f4").copy()
     return np.asarray(payload, np.float32)
 

@@ -41,8 +41,12 @@ def _mel_any(audio: np.ndarray):
     """Batched device mel for float32 audio, int16 PCM, or uint8 mu-law.
     The compact formats shrink the host->device upload (the dominant cost
     of batch synthesis over this TPU's tunnel: int16 halves it, mu-law
-    quarters it); dequantization happens on device."""
-    dt = np.asarray(audio).dtype
+    quarters it); dequantization happens on device.
+
+    Read .dtype directly — np.asarray on an already-on-device (possibly
+    sharded) array would pull the whole batch back to host just to probe
+    its dtype."""
+    dt = audio.dtype if hasattr(audio, "dtype") else np.asarray(audio).dtype
     if dt == np.int16:
         return batched_log_mel_i16(jnp.asarray(audio))
     if dt == np.uint8:
@@ -125,13 +129,11 @@ class SlidingWindowSynthesizer:
         vids (B,) -> (B, total_frames, pose_dim)."""
         cfg = self.cfg
         audio = np.asarray(audio)
-        if self.uses_audio and audio.dtype == np.int16:
+        if self.uses_audio and audio.dtype in (np.int16, np.uint8):
             # raw-waveform models consume float audio; the compact-PCM
             # fast paths only help spectrogram models (decoded on device)
-            audio = audio.astype(np.float32) / 32768.0
-        elif self.uses_audio and audio.dtype == np.uint8:
-            y = audio.astype(np.float32) * (2.0 / 255.0) - 1.0
-            audio = np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) / 255.0
+            from ha2g_tpu.ops.mel import pcm_to_float_np
+            audio = pcm_to_float_np(audio)
         B, n_samples = audio.shape
         clip_seconds = n_samples / SR
         unit_time, stride_time, num_sub = _window_layout(cfg, clip_seconds)
@@ -726,17 +728,11 @@ class GestureStream:
         if words:
             self._words.extend(words)
         if samples is not None:
-            samples = np.asarray(samples)
-            if samples.dtype == np.int16:
-                samples = samples.astype(np.float32) / 32768.0
-            elif samples.dtype == np.uint8:
-                # G.711 mu-law, decoded on host: per-chunk device round
-                # trips would cost a ~34 ms tunnel hop each on live feeds
-                y = samples.astype(np.float32) * (2.0 / 255.0) - 1.0
-                samples = np.sign(y) * (np.power(256.0, np.abs(y)) - 1.0) \
-                    / 255.0
+            # int16 / mu-law decoded on host (pcm_to_float_np): per-chunk
+            # device round trips would cost a ~34 ms tunnel hop each
+            from ha2g_tpu.ops.mel import pcm_to_float_np
             self._buf = np.concatenate([self._buf,
-                                        samples.astype(np.float32)])
+                                        pcm_to_float_np(samples)])
         outs = []
         while self._ready(self._next_w):
             self._extend_frames(final=False)
