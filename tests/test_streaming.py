@@ -222,6 +222,20 @@ def test_stream_expressive_matches_batch():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
 
 
+def test_mel_any_no_device_to_host_transfer():
+    """Regression (code-review finding): _mel_any must not pull an
+    already-on-device audio batch back to host to probe its dtype — the
+    mesh path hands it sharded arrays whose round trip would cost seconds
+    on the tunnel."""
+    from ha2g_tpu.synthesis import _mel_any
+    audio = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16000)).astype(np.float32))
+    jax.block_until_ready(audio)
+    with jax.transfer_guard_device_to_host("disallow"):
+        spec = _mel_any(audio)
+    assert spec.shape[0] == 2
+
+
 def test_fused_synthesis_sharded_matches_single(hier_synth):
     """Multi-chip batch synthesis: run_fused with the clip batch sharded
     over the virtual 8-device data mesh reproduces the single-device
