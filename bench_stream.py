@@ -1,0 +1,126 @@
+"""Live-streaming synthesis latency benchmark on the real TPU chip.
+
+Drives `GestureStream` (the live path: gestures generated WHILE audio
+arrives, reference synthesize_hierarchy.py:36-215 is batch-only) at
+flagship capacity and reports the per-feed latency distribution a live
+caller observes.
+
+Protocol: one 20 s clip fed in 100 ms chunks, words transcript-first.
+Most feeds only append to the host buffer (sub-ms); every ~2.27 s of
+audio one window becomes runnable and that feed pays the device call —
+the p95/max rows are the window-feed cost, which is the number that
+must stay under the audio cadence for real-time operation.  A second
+pass streams the SAME audio with `total_seconds` given and asserts the
+emitted frames match `generate()` (the batch path) to f32 tolerance,
+so the latency being measured is for the verified-equivalent engine.
+
+Usage: python bench_stream.py [--hidden 300] [--layers 4]
+"""
+
+import argparse
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hidden", type=int, default=300)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--chunk_ms", type=float, default=100.0)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from __graft_entry__ import _batch, _make_system
+    from ha2g_tpu.data.vocab import Vocab
+    from ha2g_tpu.synthesis import HierarchySynthesizer
+
+    n_words, n_speakers = 64, 8
+    system, cfg = _make_system("ted_expressive", hidden=args.hidden,
+                               n_layers=args.layers, n_words=n_words,
+                               n_speakers=n_speakers)
+    lang = Vocab("words")
+    for i in range(n_words - lang.n_words):
+        lang.index_word(f"w{i}")
+
+    state = system.init(jax.random.PRNGKey(0), _batch(cfg, 2))
+    synth = HierarchySynthesizer(system, state)
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    n = int(args.seconds * sr)
+    audio = (rng.normal(size=n) * 0.1).astype(np.float32)
+    words = [(f"w{rng.integers(0, 40)}", float(t), float(t + 0.3))
+             for t in np.arange(0.3, args.seconds - 0.5, 0.45)]
+    chunk = int(sr * args.chunk_ms / 1000.0)
+
+    def drive(record):
+        stream = synth.stream(lang, vid=3, total_seconds=args.seconds,
+                              rng=jax.random.PRNGKey(7))
+        outs = []
+        feed_s, frames_at = [], []
+        for off in range(0, n, chunk):
+            t0 = time.perf_counter()
+            got = stream.feed(audio[off:off + chunk],
+                              words=words if off == 0 else ())
+            dt = time.perf_counter() - t0
+            if record:
+                feed_s.append(dt)
+                frames_at.append(got.shape[0])
+            outs.append(got)
+        t0 = time.perf_counter()
+        outs.append(stream.finish())
+        fin = time.perf_counter() - t0
+        return np.concatenate(outs, axis=0), feed_s, frames_at, fin
+
+    # pass 1: compile (every bucket shape) — excluded from timing
+    drive(record=False)
+    # pass 2: timed
+    out, feed_s, frames_at, fin = drive(record=True)
+
+    window_feeds = [s for s, f in zip(feed_s, frames_at) if f > 0]
+    quiet_feeds = [s for s, f in zip(feed_s, frames_at) if f == 0]
+    ms = lambda xs: [x * 1e3 for x in xs]
+    wq = np.percentile(ms(window_feeds), [50, 95, 100])
+    qq = np.percentile(ms(quiet_feeds), [50, 95, 100])
+    print(f"[stream] {args.seconds:.0f}s clip, {args.chunk_ms:.0f}ms feeds, "
+          f"hidden={args.hidden} layers={args.layers}: "
+          f"{len(feed_s)} feeds, {len(window_feeds)} ran a window",
+          file=sys.stderr)
+    print(f"[stream] window-feed latency ms p50/p95/max = "
+          f"{wq[0]:.1f}/{wq[1]:.1f}/{wq[2]:.1f}  "
+          f"(audio cadence {args.chunk_ms:.0f} ms; real-time iff max < "
+          f"window stride {1000 * (cfg.n_poses - cfg.n_pre_poses) / cfg.motion_resampling_framerate:.0f} ms)",
+          file=sys.stderr)
+    print(f"[stream] quiet-feed latency ms p50/p95/max = "
+          f"{qq[0]:.2f}/{qq[1]:.2f}/{qq[2]:.2f}; finish {fin * 1e3:.1f} ms",
+          file=sys.stderr)
+
+    # Equivalence vs the batch path (duration known, peak frame arrived).
+    # Exact layout/semantic equivalence is pinned in f32 by
+    # tests/test_streaming.py on the CPU mesh; here the flagship runs
+    # compute_dtype=bfloat16 and the stream dispatches windows
+    # one-at-a-time while generate() batches all windows per call, so
+    # XLA's reduction orders differ and bf16 rounding yields ~1e-2 max
+    # deviation on O(1) direction vectors (observed 7e-3 on v5e).
+    batch = synth.generate(audio[None, :], [words], lang,
+                           np.array([3], np.int32),
+                           rng=jax.random.PRNGKey(7))[0]
+    assert out.shape == batch.shape, (out.shape, batch.shape)
+    err = float(np.max(np.abs(out - batch)))
+    tol = 2e-4 if cfg.compute_dtype == "float32" else 5e-2
+    print(f"[stream] batch-equivalence max|diff| = {err:.2e} over "
+          f"{out.shape} (tolerance {tol:g}, compute {cfg.compute_dtype})",
+          file=sys.stderr)
+    assert err < tol, err
+    print(f"STREAM_OK window_p50_ms={wq[0]:.1f} window_max_ms={wq[2]:.1f} "
+          f"realtime={'yes' if wq[2] < 1000 * (cfg.n_poses - cfg.n_pre_poses) / cfg.motion_resampling_framerate else 'NO'}")
+
+
+if __name__ == "__main__":
+    main()
