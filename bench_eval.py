@@ -1,0 +1,141 @@
+"""Benchmark: full validation pass (evaluate_testset equivalent) per chip.
+
+Targets the one BASELINE.md perf row no prior round captured: the
+reference's "Full val pass incl. FGD ~170-245 s" on TED Expressive
+(2x V100, batch 96 — training_logs/ted_expressive_new.log `[VAL] ... / N s`
+lines, which grow 56 s -> 243 s across the run).
+
+Val-set sizing (derived, the log never prints dataset sizes): the log's
+five per-epoch throughput lines come at 576-iteration intervals
+(print interval = len(train_loader)//5, reference train_expressive.py),
+so one epoch is ~2,880-3,455 iterations at batch 96 = ~300k train
+samples; the 8/1/1 clip split (make_ted_dataset.py:130-139) puts the val
+set near train/8 ~ 36k samples.  This bench runs 360 batches x 96 =
+34,560 samples — the same batch size and sample count scale, the same
+per-batch work as the reference pass (train_expressive.py:394-533):
+
+  random eval speaker ids -> 6-level eval cascade forward -> device->host
+  pull of the generated dir-vecs -> FGD-embedder push (MotionAE embed of
+  real+generated, recon-gap diagnostic) -> MAJE/accel (host FK + diffs)
+  ... and after the loop: Frechet distance + feat dist + diversity.
+
+BC stays disabled, as in the reference default (train.py:344).  Batch
+CONTENT repeats (a 12-batch pool cycled 30x) — the compute performed is
+content-independent, and materializing 34k unique synthetic samples
+would just burn host RAM on this 1-vCPU box.
+
+Protocol matches bench.py: compile/warmup outside the timed region,
+>= 3 full timed passes, MEDIAN reported; stdout is ONE JSON line.
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+TINY = os.environ.get("HA2G_BENCH_EVAL_TINY") == "1"  # glue smoke (CPU ok)
+PASSES = 1 if TINY else 3
+N_BATCHES = 4 if TINY else 360
+BATCH = 8 if TINY else 96
+POOL = 2 if TINY else 12
+
+
+def main():
+    if not TINY:
+        from bench import _wait_for_device
+        _wait_for_device()
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from __graft_entry__ import _batch, _make_system
+    from ha2g_tpu.eval.fgd import EmbeddingSpaceEvaluator
+    from ha2g_tpu.eval.metrics import maje_and_accel
+    from ha2g_tpu.models.motion_ae import MotionAE
+
+    n_speakers = 8
+    system, cfg = _make_system("ted_expressive",
+                               hidden=32 if TINY else 300,
+                               n_layers=2 if TINY else 4,
+                               n_speakers=n_speakers)
+    state = system.init(jax.random.PRNGKey(0), _batch(cfg, 2))
+    eval_step = system.make_eval_step()
+
+    # frozen FGD embedder at reference capacity (latent 128,
+    # config_expressive/gesture_autoencoder.yml); random weights — the
+    # timed work is identical to a trained net's
+    ae = MotionAE(pose_dim=cfg.pose_dim, latent_dim=128)
+    ae_vars = ae.init(jax.random.PRNGKey(1),
+                      jnp.zeros((2, cfg.n_poses, cfg.pose_dim)), train=False)
+    evaluator = EmbeddingSpaceEvaluator(
+        cfg.pose_dim, cfg.n_poses, ae_vars["params"],
+        ae_vars.get("batch_stats", {}))
+
+    pool = [_batch(cfg, BATCH, seed=s) for s in range(POOL)]
+    mean_vec = cfg.mean_dir_vec_array
+
+    def full_pass(seed: int):
+        rng_np = np.random.default_rng(seed)
+        evaluator.reset()
+        loss_sum = mae_sum = acc_sum = 0.0
+        for i in range(N_BATCHES):
+            b = dict(pool[i % POOL])
+            # random speaker ids at eval (reference train.py:366)
+            b["vids"] = jnp.asarray(rng_np.integers(
+                0, n_speakers, (BATCH,)).astype(np.int32))
+            out, loss = eval_step(state, b,
+                                  jax.random.fold_in(
+                                      jax.random.PRNGKey(seed), i))
+            out_np = np.asarray(out)
+            tgt_np = np.asarray(b["target"])
+            loss_sum += float(loss)
+            evaluator.push_samples(out_np, tgt_np)
+            mae, acc = maje_and_accel(out_np, tgt_np, mean_vec,
+                                      cfg.skeleton, cfg.n_pre_poses)
+            mae_sum += mae
+            acc_sum += acc
+        frechet, feat_dist = evaluator.get_scores()
+        diversity = evaluator.get_diversity_scores(rng_np)
+        return dict(loss=loss_sum / N_BATCHES, mae=mae_sum / N_BATCHES,
+                    accel=acc_sum / N_BATCHES, frechet=frechet,
+                    feat_dist=feat_dist, diversity=diversity)
+
+    # warmup: compile eval_step + both embed jits, prime transfer paths
+    evaluator.reset()
+    b0 = dict(pool[0])
+    out, _ = eval_step(state, b0, jax.random.PRNGKey(9))
+    evaluator.push_samples(np.asarray(out), np.asarray(b0["target"]))
+
+    times = []
+    for p in range(PASSES):
+        t0 = time.perf_counter()
+        metrics = full_pass(p)
+        times.append(time.perf_counter() - t0)
+        print(f"[bench_eval] pass {p}: {times[-1]:.1f}s  "
+              + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()),
+              file=sys.stderr)
+
+    med = statistics.median(times)
+    n_samples = N_BATCHES * BATCH
+    print(f"[bench_eval] full val pass ({n_samples} samples, bs {BATCH}, "
+          f"incl. FGD embed + Frechet + MAJE/accel + diversity): median "
+          f"{med:.1f}s over {PASSES} passes (min {min(times):.1f} / max "
+          f"{max(times):.1f}) = {n_samples / med:.0f} samples/s  "
+          f"[reference: 56-243 s for the same pass shape on 2x V100]",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "expressive_val_pass_wall_time",
+        "value": round(med, 1),
+        "unit": "s per 34,560-sample val pass (incl. FGD)",
+        "vs_baseline": round(170.0 / med, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
