@@ -48,6 +48,10 @@ def main():
         from bench import _wait_for_device
         _wait_for_device()
     import jax
+    if TINY:
+        # glue smoke must not touch the TPU; the axon plugin wins over the
+        # JAX_PLATFORMS env var, so force the platform explicitly
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

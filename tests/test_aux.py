@@ -213,3 +213,24 @@ def test_resume_continues_training(tmp_path):
     assert np.isclose(hist2[0]["loss"], hist1[-1]["loss"],
                       rtol=1e-5, atol=1e-6)
     assert int(state2.step) > int(state1.step)
+
+
+def test_bench_eval_tiny_smoke():
+    """bench_eval.py's TINY mode exercises the full val-pass glue (eval
+    cascade -> FGD push -> Frechet/diversity -> MAJE/accel) end to end on
+    CPU in a subprocess; stdout must be one JSON line."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, HA2G_BENCH_EVAL_TINY="1")
+    r = subprocess.run([sys.executable, str(root / "bench_eval.py")],
+                       capture_output=True, text=True, timeout=600,
+                       cwd=str(root), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "expressive_val_pass_wall_time"
+    assert payload["value"] > 0
