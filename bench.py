@@ -177,15 +177,64 @@ def main():
           f"1-3 methodology): median {total_frames / lmed:.0f} f/s "
           f"({lmed:.3f}s, {len(legacy)} reps, "
           f"min {min(legacy):.3f} max {max(legacy):.3f})", file=sys.stderr)
+    dev_med = statistics.median(dev)
     print(f"[bench] device compute only (spec resident, no pull): median "
-          f"{total_frames / statistics.median(dev):.0f} f/s "
-          f"({statistics.median(dev):.3f}s)", file=sys.stderr)
+          f"{total_frames / dev_med:.0f} f/s ({dev_med:.3f}s)",
+          file=sys.stderr)
+
+    # ---- MFU / roofline accounting (VERDICT r3 items 2+3) ----
+    from ha2g_tpu.utils.roofline import compiled_flops, mfu_line
+    scan_flops = compiled_flops(
+        synth._fused_step, synth.state, spec_res,
+        plan["text_all"], plan["s0_all"], plan["vids"], plan["rng"],
+        num_sub=plan["num_sub"], spec_len=plan["spec_len"])
+    print(f"[mfu] fused synthesis scan (device-only): "
+          f"{mfu_line(scan_flops, dev_med)}", file=sys.stderr)
+    # transfer-vs-compute split of the e2e path: everything the e2e median
+    # pays beyond on-device compute is tunnel transfer + dispatch; the
+    # bytes are exact (mu-law upload + f16 pull), so the implied bandwidth
+    # is the attributable roofline claim for the e2e-vs-device gap
+    bytes_up = audio_u8.nbytes
+    bytes_down = out.nbytes
+    xfer_s = max(med - dev_med, 1e-9)
+    print(f"[roofline] e2e {med:.3f}s = device {dev_med:.3f}s "
+          f"({100 * dev_med / med:.0f}%) + transfer/dispatch {xfer_s:.3f}s "
+          f"({100 * xfer_s / med:.0f}%); bytes/call: up {bytes_up / 1e6:.1f} MB "
+          f"(mu-law) + down {bytes_down / 1e6:.1f} MB (f16) -> implied "
+          f"tunnel bandwidth {(bytes_up + bytes_down) / xfer_s / 1e6:.1f} "
+          f"MB/s; the path is transfer-bound, device compute is "
+          f"{med / dev_med:.1f}x faster than the wire", file=sys.stderr)
+
+    _train_step_stderr()
     print(json.dumps({
         "metric": "expressive_hierarchy_synthesis_throughput",
         "value": round(fps_per_chip, 1),
         "unit": "pose frames/s/chip",
         "vs_baseline": round(fps_per_chip / 150.0, 2),
     }))
+
+
+def _train_step_stderr():
+    """Driver-captured train-step throughput + MFU per dataset (VERDICT r3
+    items 2+3): slope-timed full GAN step at the reference batch sizes,
+    printed to stderr so BENCH_r{N}.tail records train perf round over
+    round.  Stdout stays the single synthesis JSON line."""
+    import jax
+    from __graft_entry__ import _batch, _make_system
+    from bench_train import _timed_step
+    from ha2g_tpu.utils.roofline import compiled_flops, mfu_line
+
+    for dataset, bs in (("ted_gesture", 256), ("ted_expressive", 96)):
+        system, cfg = _make_system(dataset, hidden=300, n_layers=4)
+        batch = _batch(cfg, bs)
+        state = system.init(jax.random.PRNGKey(0), batch)
+        step = system.make_train_step(gan_on=True, donate=False)
+        per = _timed_step(system, state, batch, step)
+        flops = compiled_flops(step, state, batch, jax.random.PRNGKey(0))
+        print(f"[bench] train {dataset} bs{bs}: {per * 1000:.1f} ms/step = "
+              f"{bs / per:.0f} samples/s | {mfu_line(flops, per)}",
+              file=sys.stderr, flush=True)
+        del system, state, batch, step
 
 
 def _padded_spec(synth, audio, plan):

@@ -133,12 +133,20 @@ def main():
           f"{max(times):.1f}) = {n_samples / med:.0f} samples/s  "
           f"[reference: 56-243 s for the same pass shape on 2x V100]",
           file=sys.stderr)
-    print(json.dumps({
+    payload = {
         "metric": "expressive_val_pass_wall_time",
         "value": round(med, 1),
-        "unit": "s per 34,560-sample val pass (incl. FGD)",
+        "unit": f"s per {n_samples:,}-sample val pass (incl. FGD)",
         "vs_baseline": round(170.0 / med, 2),
-    }))
+    }
+    if TINY:
+        # a smoke run's output must be distinguishable from a real capture:
+        # raw (unrounded) wall time, an explicit tiny tag, and no
+        # vs_baseline (the 170 s anchor refers to the 34,560-sample pass)
+        payload["tiny"] = True
+        payload["value"] = med
+        del payload["vs_baseline"]
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -68,12 +68,20 @@ def main(dataset: str = "ted_gesture"):
         return time.perf_counter() - t0, st
 
     _, st = run(1, state)  # compile
+    best = None
     for trial in range(3):
         t_small, _ = run(3, state)
         t_big, _ = run(13, state)
         per = (t_big - t_small) / 10
+        best = per if best is None else min(best, per)
         print(f"{dataset} bs{B} trial {trial}: {per * 1000:.1f} ms/step = "
               f"{B / per:.0f} samples/s", flush=True)
+
+    # MFU/roofline accounting (VERDICT r3 item 2)
+    from ha2g_tpu.utils.roofline import compiled_flops, mfu_line
+    flops = compiled_flops(step, state, batch, jax.random.PRNGKey(0))
+    print(f"[mfu {dataset} bs{B}] full GAN train step: "
+          f"{mfu_line(flops, best)}", flush=True)
 
 
 def ablate(dataset: str = "ted_gesture"):
@@ -95,17 +103,24 @@ def ablate(dataset: str = "ted_gesture"):
     state = system.init(jax.random.PRNGKey(0), batch)
 
     def variant(gan_on=True, **overrides):
+        # a FRESH system per variant: overrides must also reach any
+        # __init__-derived state, not just the loss weights the train step
+        # reads off self.cfg (module defs are identical across variants, so
+        # the shared `state` stays loadable)
         c = dataclasses.replace(cfg, **overrides)
-        s = HierarchySystem.__new__(HierarchySystem)
-        s.__dict__.update(system.__dict__)
-        s.cfg = c
+        s = HierarchySystem(c, n_words=64, n_speakers=8)
         return s.make_train_step(gan_on=gan_on, donate=False)
 
     full = _timed_step(system, state, batch, variant())
     print(f"[ablate {dataset} bs{B}] full step: {full * 1000:.1f} ms "
           f"({B / full:.0f} samples/s)", flush=True)
     cases = [
-        ("no D phase + no GAN term (warmup variant)", dict(gan_on=False)),
+        # NB: one D forward survives in this variant (the G-step D call's
+        # batch-stats update feeds the new state, hierarchy.py:264-267), so
+        # the delta slightly underattributes the GAN cost — it matches the
+        # warmup epochs' actual step, which keeps that same forward
+        ("no D phase + no GAN term (warmup variant; 1 D fwd remains)",
+         dict(gan_on=False)),
         ("no diversity-reg cascade + no KLD", dict(loss_reg_weight=0.0)),
         ("no contrastive (pos+neg)",
          dict(loss_contrastive_pos_weight=0.0,

@@ -233,4 +233,9 @@ def test_bench_eval_tiny_smoke():
     assert r.returncode == 0, r.stderr[-2000:]
     payload = json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["metric"] == "expressive_val_pass_wall_time"
-    assert payload["value"] > 0
+    # TINY runs are tagged, report the raw (unrounded) wall time, and omit
+    # vs_baseline — a smoke capture must not masquerade as a real one
+    assert payload["tiny"] is True
+    assert "vs_baseline" not in payload
+    assert isinstance(payload["value"], float) and payload["value"] > 0
+    assert "32-sample" in payload["unit"]
