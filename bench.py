@@ -82,11 +82,8 @@ def _wait_for_device(max_wait_s: float = 600.0) -> None:
 def main():
     _wait_for_device()
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     from __graft_entry__ import _make_system
     from ha2g_tpu.data.vocab import Vocab
     from ha2g_tpu.synthesis import HierarchySynthesizer
@@ -182,6 +179,17 @@ def main():
           f"{total_frames / dev_med:.0f} f/s ({dev_med:.3f}s)",
           file=sys.stderr)
 
+    # ---- tunnel calibration (VERDICT r4 item 8) ----
+    # a fixed-size raw transfer timing, independent of the synthesis code
+    # path, so round-over-round moves in the e2e number are attributable:
+    # if [tunnel] MB/s moved with the headline, it was tunnel weather; if
+    # [tunnel] held and the headline moved, it was a code change
+    try:
+        _tunnel_calibration()
+    except Exception as e:  # must never cost the measured headline
+        print(f"[tunnel] calibration failed (headline unaffected): {e!r}",
+              file=sys.stderr)
+
     # ---- MFU / roofline accounting (VERDICT r3 items 2+3) ----
     from ha2g_tpu.utils.roofline import compiled_flops, mfu_line
     scan_flops = compiled_flops(
@@ -196,22 +204,69 @@ def main():
     # is the attributable roofline claim for the e2e-vs-device gap
     bytes_up = audio_u8.nbytes
     bytes_down = out.nbytes
-    xfer_s = max(med - dev_med, 1e-9)
-    print(f"[roofline] e2e {med:.3f}s = device {dev_med:.3f}s "
-          f"({100 * dev_med / med:.0f}%) + transfer/dispatch {xfer_s:.3f}s "
-          f"({100 * xfer_s / med:.0f}%); bytes/call: up {bytes_up / 1e6:.1f} MB "
-          f"(mu-law) + down {bytes_down / 1e6:.1f} MB (f16) -> implied "
-          f"tunnel bandwidth {(bytes_up + bytes_down) / xfer_s / 1e6:.1f} "
-          f"MB/s; the path is transfer-bound, device compute is "
-          f"{med / dev_med:.1f}x faster than the wire", file=sys.stderr)
+    if med <= dev_med * 1.05:
+        # degenerate on a noisy run: the e2e median landed at/below the
+        # device-only median, so no transfer time is attributable
+        print(f"[roofline] e2e {med:.3f}s ~= device-only {dev_med:.3f}s "
+              f"on this run — transfer split not attributable (noise); "
+              f"see the [tunnel] calibration line instead", file=sys.stderr)
+    else:
+        # NOTE: the "transfer/dispatch" bucket also contains the on-device
+        # mel front-end (absent from the spec-resident device-only rep)
+        # and per-chunk dispatch, so the implied bandwidth is a lower
+        # bound on the raw tunnel rate; the [tunnel] line above measures
+        # the raw rate directly
+        xfer_s = med - dev_med
+        print(f"[roofline] e2e {med:.3f}s = device {dev_med:.3f}s "
+              f"({100 * dev_med / med:.0f}%) + transfer/dispatch/mel "
+              f"{xfer_s:.3f}s ({100 * xfer_s / med:.0f}%); bytes/call: up "
+              f"{bytes_up / 1e6:.1f} MB (mu-law) + down "
+              f"{bytes_down / 1e6:.1f} MB (f16) -> implied tunnel bandwidth "
+              f">= {(bytes_up + bytes_down) / xfer_s / 1e6:.1f} "
+              f"MB/s; the path is transfer-bound, device compute is "
+              f"{med / dev_med:.1f}x faster than the wire", file=sys.stderr)
 
-    _train_step_stderr()
+    # auxiliary train-step reporting must never cost the already-measured
+    # headline (it previously ran before the stdout JSON line; a failure
+    # there discarded the capture)
+    try:
+        _train_step_stderr()
+    except Exception as e:
+        print(f"[bench] train-step reporting failed (headline unaffected): "
+              f"{e!r}", file=sys.stderr)
     print(json.dumps({
         "metric": "expressive_hierarchy_synthesis_throughput",
         "value": round(fps_per_chip, 1),
         "unit": "pose frames/s/chip",
         "vs_baseline": round(fps_per_chip / 150.0, 2),
     }))
+
+
+def _tunnel_calibration(mb: int = 32, reps: int = 3):
+    """Raw host->device and device->host transfer rate on a fixed-size
+    incompressible buffer, printed as a [tunnel] stderr line.  Gives every
+    BENCH_r{N} capture a code-independent tunnel measurement so synthesis
+    throughput moves can be attributed to tunnel weather vs code."""
+    import jax
+    import statistics as st
+
+    buf = np.random.default_rng(7).integers(
+        0, 256, mb * 1_000_000, dtype=np.uint8)
+    ups, downs = [], []
+    dev = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        jax.block_until_ready(dev)
+        ups.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        back = np.asarray(dev)
+        downs.append(time.perf_counter() - t0)
+        assert back[0] == buf[0]
+    up, down = st.median(ups), st.median(downs)
+    print(f"[tunnel] raw {mb} MB x{reps}: up {mb / up:.1f} MB/s "
+          f"({up:.3f}s), down {mb / down:.1f} MB/s ({down:.3f}s)",
+          file=sys.stderr)
 
 
 def _train_step_stderr():

@@ -52,11 +52,8 @@ def main():
         # glue smoke must not touch the TPU; the axon plugin wins over the
         # JAX_PLATFORMS env var, so force the platform explicitly
         jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from __graft_entry__ import _batch, _make_system
     from ha2g_tpu.eval.fgd import EmbeddingSpaceEvaluator

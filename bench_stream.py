@@ -34,8 +34,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     from __graft_entry__ import _batch, _make_system
     from ha2g_tpu.data.vocab import Vocab
     from ha2g_tpu.synthesis import HierarchySynthesizer

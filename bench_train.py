@@ -49,8 +49,8 @@ def _timed_step(system, state, batch, step):
 
 def main(dataset: str = "ted_gesture"):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     from __graft_entry__ import _make_system, _batch
 
     B = 256 if dataset == "ted_gesture" else 96
@@ -90,8 +90,8 @@ def ablate(dataset: str = "ted_gesture"):
     delta vs the full step.  gan_off removes the D phase AND the G-side
     GAN term (the loss_warmup variant actually used for early epochs)."""
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     import dataclasses
 
     from __graft_entry__ import _make_system, _batch

@@ -731,16 +731,12 @@ def cmd_doctor(argv):
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache: the flagship train step takes
-    minutes to compile on this host; caching makes repeat CLI invocations
-    (smoke runs, eval, synthesis) start in seconds."""
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/ha2g_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass  # older jax without the knobs
+    """Persistent XLA compilation cache (machine-fingerprinted — see
+    utils/jax_cache.py): the flagship train step takes minutes to compile
+    on this host; caching makes repeat CLI invocations (smoke runs, eval,
+    synthesis) start in seconds."""
+    from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
 
 
 def main():

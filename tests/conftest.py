@@ -21,10 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compilation cache: the suite is compile-dominated on this
 # 1-vCPU host (round-1 wall time 27 min); repeat runs reuse compiled
-# programs across processes
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/ha2g_jax_cache_tests")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-except Exception:
-    pass
+# programs across processes.  Machine-fingerprinted (utils/jax_cache.py):
+# loading XLA:CPU AOT blobs compiled on a different machine type risks
+# SIGILL / stalled device threads mid-collective.
+from ha2g_tpu.utils.jax_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(min_compile_secs=2, tag="tests")
