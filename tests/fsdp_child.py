@@ -3,10 +3,13 @@
 Run as `python -m tests.fsdp_child` from the repo root by
 tests/test_parallel.py::test_hierarchy_hybrid_fsdp_step_matches_single.
 Isolated in its own process because XLA:CPU's in-process collective
-rendezvous can SIGABRT the whole process when thread starvation on a
-1-vCPU host desyncs virtual devices across a program's
-collective-permutes — an abort here must fail one test, not kill the
-suite.  Prints FSDP_EQUIV_OK on success.
+rendezvous can SIGABRT the whole process when virtual-device threads pick
+up two independent collectives in different orders and deadlock — an
+abort here must fail one test, not kill the suite.  The
+concurrency-optimized HLO scheduler is disabled as the root-cause fix
+(the memory-minimising schedule chains collectives; validated on the
+dryrun's identical failure, __graft_entry__.py).  Prints FSDP_EQUIV_OK
+on success.
 """
 
 import os
@@ -14,17 +17,16 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+        _flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_enable_concurrency_optimized_scheduler=false").strip()
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ha2g_jax_cache_tests")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-except Exception:
-    pass
+from ha2g_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache(min_compile_secs=2, tag="tests")
 
 
 def main():
