@@ -88,6 +88,12 @@ class Config:
     compute_dtype: str = "float32"
     # data-parallel mesh axis size; 0 = all local devices
     dp_devices: int = 0
+    # FSDP/ZeRO model-axis size: >1 builds a hybrid 2-D (data, model) mesh
+    # where parameters + optimizer state shard over 'model'
+    # (parallel/mesh.py::hybrid_mesh / shard_state_fsdp) while the batch
+    # stays sharded over 'data'.  1 = pure DP (the reference-parity mode;
+    # its only parallelism is DataParallel, train.py:132-143).
+    fsdp_devices: int = 1
     # save optimizer state for mid-training resume (capability superset of the
     # reference, which has no resume path; SURVEY.md section 5.4)
     save_optimizer_state: bool = True

@@ -28,7 +28,8 @@ from ha2g_tpu.data.loader import BatchLoader
 from ha2g_tpu.data.vocab import Vocab
 from ha2g_tpu.eval.fgd import EmbeddingSpaceEvaluator
 from ha2g_tpu.eval.metrics import beat_consistency, maje_and_accel
-from ha2g_tpu.parallel.mesh import batch_sharding, data_mesh, replicate
+from ha2g_tpu.parallel.mesh import (batch_sharding, data_mesh, hybrid_mesh,
+                                    replicate, shard_state_fsdp)
 from ha2g_tpu.utils.average_meter import AverageMeter
 
 
@@ -71,7 +72,17 @@ class Trainer:
         self.system = build_system(
             cfg, lang.n_words, max(speaker.n_words, 1),
             lang.word_embedding_weights)
-        self.mesh = data_mesh(cfg.dp_devices) if use_mesh else None
+        if not use_mesh:
+            self.mesh = None
+        elif cfg.fsdp_devices > 1:
+            # hybrid DP x FSDP: batch shards over 'data', parameters +
+            # optimizer state shard ZeRO-style over 'model' (gathered on
+            # use / reduce-scattered on the gradient by GSPMD)
+            n_data = cfg.dp_devices or \
+                len(jax.devices()) // cfg.fsdp_devices
+            self.mesh = hybrid_mesh(n_data, cfg.fsdp_devices)
+        else:
+            self.mesh = data_mesh(cfg.dp_devices)
         sharding = batch_sharding(self.mesh) if self.mesh else None
         # the train loader ships only the fields the system consumes —
         # the hierarchy model never reads the raw 16 kHz audio (~37 MB per
@@ -139,9 +150,16 @@ class Trainer:
                 f"is smaller than batch_size {self.cfg.batch_size}; reduce "
                 "--batch_size or provide more data") from None
         state = self.system.init(self.rng, batch)
-        if self.mesh is not None:
-            state = jax.device_put(state, replicate(self.mesh))
-        return state
+        return self._place_state(state)
+
+    def _place_state(self, state):
+        """Put the train state on the mesh: replicated under pure DP,
+        FSDP-sharded over 'model' on a hybrid mesh."""
+        if self.mesh is None:
+            return state
+        if "model" in self.mesh.axis_names:
+            return shard_state_fsdp(state, self.mesh)
+        return jax.device_put(state, replicate(self.mesh))
 
     # ------------------------------------------------------------------
     def evaluate(self, state, epoch: int = 0) -> dict:
@@ -227,8 +245,7 @@ class Trainer:
             # reference lacks, SURVEY.md section 5.4)
             from ha2g_tpu.checkpoint import load_config, load_state
             state = load_state(resume_from, state)
-            if self.mesh is not None:
-                state = jax.device_put(state, replicate(self.mesh))
+            state = self._place_state(state)
             _, extra = load_config(resume_from)
             start_epoch = int(extra.get("epoch", -1)) + 1
             logging.info(f"resumed from {resume_from} at epoch {start_epoch}")
