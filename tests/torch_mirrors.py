@@ -63,10 +63,11 @@ class TorchHierGenerator(nn.Module):
     """Key names match reference Hierarchical_PoseGenerator
     (hierarchy_net.py:55-149)."""
 
-    def __init__(self, pose_dim, n_words, n_speakers, hidden=16, n_layers=2):
+    def __init__(self, pose_dim, n_words, n_speakers, hidden=16, n_layers=2,
+                 embed_dim=300):
         super().__init__()
         self.hidden_size = hidden
-        self.text_encoder = TorchTextEncoderTCN(n_words, 300, hidden,
+        self.text_encoder = TorchTextEncoderTCN(n_words, embed_dim, hidden,
                                                 n_layers)
         self.speaker_embedding = nn.Sequential(nn.Embedding(n_speakers, 16),
                                                nn.Linear(16, 16))
