@@ -21,11 +21,19 @@ Design for the MXU:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+# scan unroll factor: loop overhead dominates these small per-step matmuls
+# (34-step sequences), so unrolling helps until instruction-cache/compile
+# costs bite.  4 measured ~25% faster than 1 on v5e round 1; bench_gru.py
+# sweeps {1,2,4,8,17,34} to re-validate per hardware.  Env override is for
+# benchmarking only — production paths read the default.
+_UNROLL = int(os.environ.get("HA2G_GRU_UNROLL", "4"))
 
 
 def _torch_rnn_init(hidden_size: int):
@@ -74,9 +82,7 @@ def _gru_scan(xp: jnp.ndarray, h0: jnp.ndarray, w_hh: jnp.ndarray,
         h_new, _ = _gru_gates(x_t, hh, h)
         return h_new, h_new
 
-    # unroll=4: ~25% faster on v5e for the 34-step HA2G sequences (loop
-    # overhead dominates these small per-step matmuls); exact same math
-    h_final, outs = jax.lax.scan(step, h0, xp, unroll=4)
+    h_final, outs = jax.lax.scan(step, h0, xp, unroll=_UNROLL)
     return outs, h_final
 
 
@@ -87,7 +93,7 @@ def _gru_scan_fwd(xp, h0, w_hh, b_hh):
         h_new, _ = _gru_gates(x_t, hh, h)
         return h_new, (h_new, hh)
 
-    h_final, (outs, hh_seq) = jax.lax.scan(step, h0, xp, unroll=4)
+    h_final, (outs, hh_seq) = jax.lax.scan(step, h0, xp, unroll=_UNROLL)
     return (outs, h_final), (xp, h0, w_hh, outs, hh_seq)
 
 
@@ -112,7 +118,7 @@ def _gru_scan_bwd(res, cts):
 
     d_h0, (d_gx, d_gh) = jax.lax.scan(
         step, d_hfinal, (xp, hh_seq, h_prev_seq, d_outs),
-        reverse=True, unroll=4)
+        reverse=True, unroll=_UNROLL)
     # weight/bias gradients as single hoisted contractions; accumulate in
     # float32 even when the compute dtype is bf16 (t*b is a long axis)
     d_w_hh = jnp.einsum("tdbh,tdbg->dhg", h_prev_seq, d_gh,
