@@ -96,7 +96,24 @@ def main():
     # the actual e2e CLI run
     rc = cli.cmd_train(argv)
     assert rc == 0, rc
-    print(f"FSDP_CLI_OK loss={final_loss(out)!r} sharded={n_sharded}")
+
+    # resume path: Trainer._place_state must re-shard the loaded state
+    # onto the hybrid mesh (train/loop.py fit(resume_from=)); one more
+    # epoch from checkpoint_final must run sharded and stay finite
+    import numpy as np
+    ckpt = out / "checkpoint_final"
+    assert ckpt.exists(), ckpt
+    trainer2 = Trainer(cfg2, train_s, val_s, lang, speaker)
+    state2, _hist = trainer2.fit(epochs=2, save_path=str(out / "resumed"),
+                                 resume_from=str(ckpt))
+    n_sharded2 = sum(1 for l in jax.tree_util.tree_leaves(state2.params)
+                     if not l.sharding.is_fully_replicated)
+    assert n_sharded2 >= 5, n_sharded2
+    loss2 = final_loss(out / "resumed")
+    assert np.isfinite(loss2), loss2
+
+    print(f"FSDP_CLI_OK loss={final_loss(out)!r} sharded={n_sharded} "
+          f"resumed_sharded={n_sharded2} resumed_loss={loss2!r}")
 
 
 if __name__ == "__main__":
