@@ -22,16 +22,27 @@ def build_pre_seq(level_target: jnp.ndarray, prev_out, level: int,
                   spec: SkeletonSpec, n_pre: int) -> jnp.ndarray:
     """pre_seq for one level: first n_pre frames = ground truth + constraint
     bit, later frames = previous level's output routed to this level's bone
-    positions (train_hierarchy.py:100-116)."""
+    positions (train_hierarchy.py:100-116).
+
+    TPU-first formulation: the routing is one-to-one, so the fill is ONE
+    matmul `prev @ routing_matrix` (single 0/1 entry per output column —
+    copies values exactly in any dtype; precision='highest' keeps the f32
+    path exact on the MXU's split-accumulate) plus a time-axis concat for
+    the ground-truth prefix.  The previous `.at[dst].set(prev[..., src])`
+    scatter cost ~14% of the chained 6-level cascade fwd+bwd — the
+    scatter's transpose (backward) was the expensive part."""
     B, T, D = level_target.shape
-    ps = jnp.zeros((B, T, D + 1), level_target.dtype)
-    ps = ps.at[:, :n_pre, :D].set(level_target[:, :n_pre])
-    ps = ps.at[:, :n_pre, D].set(1.0)
-    if prev_out is not None:
-        src, dst = spec.routing_indices(level - 1)
-        ps = ps.at[:, n_pre:, jnp.asarray(dst)].set(
-            prev_out[:, n_pre:, jnp.asarray(src)])
-    return ps
+    prefix = jnp.concatenate(
+        [level_target[:, :n_pre],
+         jnp.ones((B, n_pre, 1), level_target.dtype)], axis=2)
+    if prev_out is None:
+        suffix = jnp.zeros((B, T - n_pre, D + 1), level_target.dtype)
+    else:
+        route = jnp.asarray(spec.routing_matrix(level - 1),
+                            prev_out.dtype)
+        suffix = jnp.matmul(prev_out[:, n_pre:], route,
+                            precision="highest")
+    return jnp.concatenate([prefix, suffix], axis=1)
 
 
 def run_cascade(gen_apply: Sequence[Callable], spec: SkeletonSpec,
