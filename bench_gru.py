@@ -21,7 +21,7 @@ from functools import lru_cache
 import numpy as np
 
 
-def _slope_time(fn_for_n, n_lo=4, n_hi=12):
+def _slope_time(fn_for_n, n_lo=50, n_hi=250):
     """Slope-timed per-iteration cost: run a chained loop of n scans ended
     by a real host pull (verify skill: block_until_ready is not reliable
     over the tunnel), take the slope between two loop lengths."""
